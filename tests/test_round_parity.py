@@ -1,0 +1,60 @@
+"""Python-round semantics: py_round2 must equal CPython's round(x, 2)
+over the entire reachable domain of the reference's rounding sites."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from marl_sortingenv_tpu.core.dynamics import py_round2, py_round_int
+
+
+def test_round2_purity_domain_exhaustive():
+    # purity = true/total for containers up to capacity overflow territory
+    pairs = []
+    for total in range(1, 701):
+        for true in range(0, total + 1):
+            pairs.append((true, total))
+    pairs = np.array(pairs, np.int64)
+    x = pairs[:, 0].astype(np.float64) / pairs[:, 1].astype(np.float64)
+    got = np.asarray(jax.jit(py_round2)(jnp.asarray(x), np.uint64(0)))
+    expected = np.array([round(float(v), 2) for v in x])
+    mism = got != expected
+    assert not mism.any(), (
+        pairs[mism][:5],
+        x[mism][:5],
+        got[mism][:5],
+        expected[mism][:5],
+    )
+
+
+def test_round2_mean_purity_and_diffs():
+    xs = []
+    # mean purity: 1 - (total-true)/total, total <= 400
+    for total in range(1, 401):
+        for true in range(0, total + 1):
+            xs.append(1.0 - (total - true) / total)
+    # purity diffs: k/100 - 0.9
+    for k in range(0, 101):
+        xs.append(k / 100 - 0.9)
+    # occupancy: k/100
+    for k in range(0, 401):
+        xs.append(k / 100)
+    x = np.array(xs, np.float64)
+    got = np.asarray(jax.jit(py_round2)(jnp.asarray(x), np.uint64(0)))
+    expected = np.array([round(float(v), 2) for v in x])
+    assert (got == expected).all()
+
+
+def test_round2_edge_values():
+    x = np.array([0.0, 0.005, 0.015, 0.025, 0.125, 1.0, -0.04999999999999993,
+                  -0.125, 0.9999999999999999, 5e-324, 1e-300, 200.0])
+    got = np.asarray(jax.jit(py_round2)(jnp.asarray(x), np.uint64(0)))
+    expected = np.array([round(float(v), 2) for v in x])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_round_int_bankers():
+    vals = np.array([0.5, 1.5, 2.5, 3.5, 4.5, 0.4999999999999999, 74.5, 75.5])
+    got = np.asarray(jax.jit(py_round_int)(jnp.asarray(vals)))
+    expected = np.array([round(float(v)) for v in vals])
+    np.testing.assert_array_equal(got, expected)
