@@ -83,6 +83,21 @@ def py_round2(x, z):
     return jnp.where(neg, -out, out)
 
 
+def np_round2(x, z):
+    """``round(np.float64(x), 2)`` — NumPy scalar ``__round__`` semantics:
+    ``rint(x*100)/100`` (scaled, half-to-even on the *rounded product*).
+
+    This differs from CPython's float round: e.g. for x = 370/400 the
+    double is just above 0.925, CPython rounds to 0.93, but x*100 rounds to
+    exactly 92.5 and rint gives 92 -> 0.92.  The reference's containers are
+    np.int64 (they accumulate numpy arrays), so every purity/quality
+    ``round(...)`` in the reference goes through np.float64.__round__ and
+    needs THESE semantics; only the input-occupancy round stays on pure
+    Python ints/floats (py_round2)."""
+    x = jnp.asarray(x, F64)
+    return R.fdiv(jnp.rint(x * F64(100.0)), F64(100.0), z)
+
+
 def py_round_int(x):
     """Python ``round(float)`` -> int (half-to-even), as in
     ``int(round(target_amount * acc))`` (env_super.py:539)."""
@@ -119,7 +134,7 @@ def generate_input(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
         k, units, g = c
         active = k < remainder
         m, g2 = R.choice_n(g, 4)
-        units2 = units.at[m].add(1)
+        units2 = units.at[m].add(I32(1))
         g3 = jax.tree.map(lambda a, b: jnp.where(active, b, a), g, g2)
         return (
             jnp.where(active, k + 1, k),
@@ -166,7 +181,7 @@ def update_environment(cfg: SimConfig, st: EnvState) -> EnvState:
         input_counts=counts,
         input_occupancy=occupancy,
         acc_sorter=st.acc_belt,
-        total_input_units=st.total_input_units + counts.sum(),
+        total_input_units=(st.total_input_units + counts.sum()).astype(I32),
     )
 
 
@@ -237,7 +252,7 @@ def sort_material(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
             total = leftover.sum()
             pvals = leftover.astype(F64) / jnp.maximum(total, 1).astype(F64)
             sel, g2 = R.choice_p(g, pvals)
-            leftover2 = leftover.at[sel].add(-1)
+            leftover2 = leftover.at[sel].add(I32(-1))
             g3 = jax.tree.map(lambda a, b: jnp.where(active, b, a), g, g2)
             return (
                 jnp.where(active, k + 1, k),
@@ -250,8 +265,8 @@ def sort_material(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
     e_input = leftover.sum()
     total_output = true_arr.sum() + false_arr.sum() + e_input
     discrepancy = total_input - total_output
-    e_input = e_input + jnp.clip(discrepancy, -1, 1)
-    err = jnp.where(jnp.abs(discrepancy) > 1, 1, 0)
+    e_input = (e_input + jnp.clip(discrepancy, -1, 1)).astype(I32)
+    err = jnp.where(jnp.abs(discrepancy) > 1, I32(1), I32(0))
 
     cont_true = st.cont_true.at[:4].add(true_arr)
     cont_true = cont_true.at[4].add(e_input)
@@ -259,7 +274,7 @@ def sort_material(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
 
     mean_purity = jnp.where(
         total_input > 0,
-        py_round2(
+        np_round2(
             1.0
             - (total_input - true_arr.sum()).astype(F64)
             / jnp.maximum(total_input, 1).astype(F64),
@@ -272,7 +287,7 @@ def sort_material(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
         cont_true=cont_true,
         cont_false=cont_false,
         rng=g,
-        error_flag=st.error_flag + err,
+        error_flag=(st.error_flag + err).astype(I32),
     )
     return mean_purity, st
 
@@ -300,7 +315,7 @@ def _press_bale(cfg: SimConfig, st: EnvState, m, n, q) -> EnvState:
     new_mask = (idx >= cnt) & (idx < cnt + full)
     row_size = jnp.where(new_mask, bs, row_size)
     row_qual = jnp.where(new_mask, q_int, row_qual)
-    cnt = cnt + full
+    cnt = (cnt + full).astype(I32)
 
     big_rem = rem.astype(F64) > F64(bs) * F64(cfg.bale_remainder_threshold)
     has_rem = rem > 0
@@ -314,7 +329,7 @@ def _press_bale(cfg: SimConfig, st: EnvState, m, n, q) -> EnvState:
     merge = has_rem & ~big_rem & (cnt > 0)
     merge_mask = merge & (idx == cnt - 1)
     row_size = jnp.where(merge_mask, row_size + rem, row_size)
-    cnt = cnt + jnp.where(own, 1, 0)
+    cnt = (cnt + jnp.where(own, I32(1), I32(0))).astype(I32)
 
     return st._replace(
         bale_size=st.bale_size.at[m].set(row_size),
@@ -363,7 +378,7 @@ def use_press(cfg: SimConfig, st: EnvState, press, m) -> Tuple[jax.Array, EnvSta
     true_m = jnp.where(m < 4, st.cont_true[m], total)
     quality = jnp.where(
         (m < 4) & (total > 0),
-        py_round2(true_m.astype(F64) / jnp.maximum(total, 1).astype(F64),
+        np_round2(true_m.astype(F64) / jnp.maximum(total, 1).astype(F64),
                   st.rng.fence),
         0.0,
     )
@@ -501,7 +516,7 @@ def container_purities(cfg: SimConfig, st: EnvState) -> jax.Array:
     """round(true/(true+false), 2) per A..D; empty -> quality threshold
     (env_super.py:771-791)."""
     total = st.cont_true[:4] + st.cont_false
-    purity = py_round2(
+    purity = np_round2(
         st.cont_true[:4].astype(F64) / jnp.maximum(total, 1).astype(F64),
         st.rng.fence,
     )
@@ -511,7 +526,7 @@ def container_purities(cfg: SimConfig, st: EnvState) -> jax.Array:
 def compute_purity_differences(cfg: SimConfig, st: EnvState) -> jax.Array:
     """round(purity - threshold, 2); negative diffs scaled by 1 (no-op)
     (env_super.py:212-227)."""
-    return py_round2(
+    return np_round2(
         container_purities(cfg, st) - F64(cfg.quality_threshold), st.rng.fence
     )
 

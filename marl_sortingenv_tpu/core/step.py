@@ -180,11 +180,12 @@ def _mono_apply(cfg, st, sort_mode, press_id, mat, skip_press, flat_action,
     purity, st = _apply_sort(cfg, st, sort_mode)
 
     # an invalid (sanitized) external action skips press_action_rules
-    # entirely (env_monolith.py:243: timers do NOT tick on that path)
-    ticked = D.check_press_status(cfg, st)
+    # entirely — including check_press_status, so press timers do NOT
+    # tick on that step (env_monolith.py:237-243 call nothing when
+    # press_action_tuple is None)
     log_exec, dispatched = D.press_action_rules(cfg, st, press_id, mat)
     st = jax.tree.map(
-        lambda a, b: jnp.where(skip_press, a, b), ticked, dispatched
+        lambda a, b: jnp.where(skip_press, a, b), st, dispatched
     )
     log = jnp.where(skip_press, 0, log_exec)
 
@@ -211,6 +212,7 @@ def step_mono_external(cfg: SimConfig, st: EnvState, action,
     """Path 1 (env_monolith.py:125-142): flat action from the learner.
     ``sort = a // 11``, ``press = a % 11``; without masking the press part
     is sanitized and an invalid action skips the press dispatch."""
+    st = _common_prelude(cfg, st)
     a = jnp.asarray(action, I32)
     sort_mode = a // 11
     press_disc = a % 11
