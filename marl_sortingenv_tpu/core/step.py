@@ -117,7 +117,7 @@ def step_sort(cfg: SimConfig, st: EnvState, action) -> Tuple[EnvState, StepOut]:
 # Env_2_Pressing (reference env_2_press.py:88-165)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _step_press_impl(cfg, st, action, sort_policy_params, has_sort_agent,
                      use_action_masking, sort_policy_apply):
     st = _common_prelude(cfg, st)

@@ -1,0 +1,115 @@
+"""Vectorization: N lockstep instances under vmap must each reproduce the
+reference trajectory for their own seed (BASELINE config 2), and
+auto-reset must restart episodes in place."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from marl_sortingenv_tpu.config.config import load_config
+from marl_sortingenv_tpu.core import state as S, step as ST, wrappers as W
+
+import reference_oracle as oracle
+
+CFG = load_config(max_steps=200, noise_sorting=0.0, balesize=200)
+
+
+def test_vmapped_env1_per_instance_parity():
+    seeds = np.array([1, 2, 3, 42, 99, 1234])
+    n, steps = len(seeds), 100
+    rng = np.random.default_rng(2024)
+    actions = rng.integers(0, 2, (steps, n))
+
+    st = S.reset(CFG, seeds)
+
+    def body(st, a):
+        st, out = jax.vmap(lambda s, x: ST.step_sort(CFG, s, x))(st, a)
+        return st, out
+
+    st_f, outs = jax.jit(lambda st, acts: lax.scan(body, st, acts))(
+        st, jnp.asarray(actions, jnp.int32))
+
+    for k, seed in enumerate(seeds):
+        _, records = oracle.run_episode("sort", int(seed), steps,
+                                        actions=actions[:, k])
+        ref_obs = np.stack([r["obs"] for r in records])
+        np.testing.assert_array_equal(
+            np.asarray(outs.obs)[:, k], ref_obs, err_msg=f"seed {seed}")
+        ref_rew = np.array([r["reward"] for r in records])
+        np.testing.assert_allclose(
+            np.asarray(outs.reward)[:, k], ref_rew, rtol=0, atol=1e-12)
+        snap = records[-1]["snap"]
+        np.testing.assert_array_equal(
+            np.asarray(st_f.cont_true)[k], snap["cont_true"])
+
+
+def test_autoreset_restarts_episode():
+    cfg = CFG.with_(max_steps=10)
+    seeds = np.array([5, 6])
+    st = S.reset(cfg, seeds)
+    steps = 25  # crosses two episode boundaries
+    actions = np.zeros((steps, 2), np.int32)
+
+    def body(st, a):
+        st, out = jax.vmap(W.with_autoreset(cfg, ST.step_sort))(st, a)
+        return st, out
+
+    st_f, outs = jax.jit(lambda st, acts: lax.scan(body, st, acts))(
+        st, jnp.asarray(actions))
+    term = np.asarray(outs.terminated)
+    # terminates exactly at steps 10, 20 (1-indexed: indices 9, 19)
+    expected = np.zeros((steps, 2), bool)
+    expected[9] = expected[19] = True
+    np.testing.assert_array_equal(term, expected)
+    # after reset, step counter restarted
+    assert (np.asarray(st_f.current_step) == 5).all()
+    # containers were cleared at reset and have begun refilling
+    assert (np.asarray(st_f.total_input_units) == 500).all()
+
+
+def test_error_flag_stays_zero():
+    # material conservation: the in-sort ValueError sites of the reference
+    # never fire; our error_flag mirrors that invariant
+    seeds = np.arange(16)
+    st = S.reset(CFG, seeds)
+    rng = np.random.default_rng(7)
+    actions = rng.integers(0, 2, (200, 16))
+
+    def body(st, a):
+        st, out = jax.vmap(W.with_autoreset(CFG, ST.step_sort))(st, a)
+        return st, out
+
+    st_f, _ = jax.jit(lambda st, acts: lax.scan(body, st, acts))(
+        st, jnp.asarray(actions, jnp.int32))
+    assert (np.asarray(st_f.error_flag) == 0).all()
+
+
+def test_material_conservation_batched():
+    # inputs == containers + presses + bales + stages, per instance
+    # (reference check_material_conservation, env_super.py:243-287)
+    seeds = np.arange(8) + 100
+    st = S.reset(CFG, seeds)
+    rng = np.random.default_rng(8)
+    actions = rng.integers(0, 2, (150, 8))
+
+    def body(st, a):
+        st, out = jax.vmap(lambda s, x: ST.step_sort(CFG, s, x))(st, a)
+        return st, out
+
+    st_f, _ = jax.jit(lambda st, acts: lax.scan(body, st, acts))(
+        st, jnp.asarray(actions, jnp.int32))
+
+    # NOTE: after sort_material the sorting-stage counts are stale (the
+    # reference leaves current_material_sorting untouched while its
+    # contents moved to the containers; its own audit runs pre-sort at
+    # env_super.py:463) — so end-of-step conservation excludes that stage.
+    in_sys = (
+        np.asarray(st_f.cont_true).sum(-1)
+        + np.asarray(st_f.cont_false).sum(-1)
+        + np.asarray(st_f.press_n).sum(-1)
+        + np.asarray(st_f.bale_size).sum((-1, -2))
+        + np.asarray(st_f.input_counts).sum(-1)
+        + np.asarray(st_f.belt_counts).sum(-1)
+    )
+    np.testing.assert_array_equal(in_sys, np.asarray(st_f.total_input_units))
