@@ -34,12 +34,18 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+
+def require_x64():
+    """Parity mode runs in u64/f64; enable x64 lazily on first use so that
+    importing the package does not poison the fast (f32/i32) TPU path —
+    the tunneled TPU runtime emulates f64 at ~49-bit precision and takes
+    minutes to compile x64 graphs, so fast mode must stay x64-free."""
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
 
 U64 = jnp.uint64
 U32 = jnp.uint32
@@ -78,6 +84,7 @@ def pcg64_init(seed) -> PCG64State:
     128-bit state/increment into u64 limb arrays.  ``seed`` may be a scalar
     or any array of seeds (leading batch dims are preserved).
     """
+    require_x64()
     seeds = np.asarray(seed)
     flat = seeds.reshape(-1)
     n = flat.shape[0]

@@ -1,0 +1,343 @@
+"""On-device (Maskable) PPO learner — the SB3 ``PPO`` /
+``MaskablePPO`` equivalent (reference ``src/training.py:118-143``), built
+for thousands of vectorized env instances.
+
+Algorithmic parity with SB3 (defaults that shape the learning curve):
+``n_steps=2048, batch_size=64, n_epochs=10, gamma=0.99, gae_lambda=0.95,
+clip_range=0.2, normalize_advantage=True (per minibatch), vf_coef=0.5,
+max_grad_norm=0.5, lr=3e-4, Adam eps=1e-5``; the reference overrides
+``ent_coef=0.05`` and ``seed=42``.  Done flags are treated as true
+terminals (the reference returns its time-limit in the ``terminated``
+slot, so SB3 does not bootstrap — neither do we).
+
+The rollout is a ``lax.scan`` of the vmapped env step with the policy
+fused in (obs/masks/actions never leave the device); the update is a
+scan over permuted minibatches.  The whole ``train_iteration`` is one
+jitted function, shardable over a mesh (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from ..config.config import SimConfig
+from ..core import dynamics as D
+from ..core import step as ST
+from ..core import wrappers as W
+from ..core.state import EnvState
+from ..models import mlp
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    n_steps: int = 2048          # steps per env per iteration
+    batch_size: int = 64         # minibatch size (flattened samples)
+    n_epochs: int = 10
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.05       # reference training.py:128/140
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    learning_rate: float = 3e-4
+    adam_eps: float = 1e-5
+    normalize_advantage: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class VariantSpec:
+    """Learner-facing description of one env variant."""
+    name: str                 # 'sort' | 'press' | 'mono'
+    obs_dim: int
+    n_actions: int
+    use_mask: bool
+
+    def mask_fn(self, cfg: SimConfig, st: EnvState):
+        if self.name == "press":
+            return D.press_action_masks(cfg, st)
+        if self.name == "mono":
+            return D.monolith_action_masks(cfg, st)
+        return jnp.ones(self.n_actions, bool)
+
+    def obs_fn(self, cfg: SimConfig, st: EnvState):
+        if self.name == "sort":
+            return D.get_sort_obs(cfg, st)
+        if self.name == "press":
+            return D.get_press_obs(cfg, st)
+        return D.get_mono_obs(cfg, st)
+
+    def step_fn(self, sort_policy=None, use_action_masking=True):
+        if self.name == "sort":
+            return ST.step_sort
+        if self.name == "press":
+            return lambda cfg, st, a: ST.step_press(
+                cfg, st, a, sort_policy, use_action_masking)
+        return lambda cfg, st, a: ST.step_mono_external(
+            cfg, st, a, use_action_masking)
+
+
+SORT_SPEC = VariantSpec("sort", 13, 2, use_mask=False)
+PRESS_SPEC = VariantSpec("press", 16, 11, use_mask=True)
+MONO_SPEC = VariantSpec("mono", 29, 22, use_mask=True)
+
+
+def spec_for(name: str) -> VariantSpec:
+    return {"sort": SORT_SPEC, "press": PRESS_SPEC, "mono": MONO_SPEC}[name]
+
+
+class Transition(NamedTuple):
+    obs: jax.Array      # [T, N, obs_dim] f32
+    mask: jax.Array     # [T, N, A] bool
+    action: jax.Array   # [T, N] i32
+    logp: jax.Array     # [T, N] f32
+    value: jax.Array    # [T, N] f32
+    reward: jax.Array   # [T, N] f32
+    done: jax.Array     # [T, N] bool
+
+
+class TrainState(NamedTuple):
+    params: mlp.ACParams
+    opt_state: Any
+    env_state: EnvState   # batched [N]
+    obs: jax.Array        # [N, obs_dim]
+    key: jax.Array
+    # running episode-return accumulators (device-side Monitor equivalent)
+    ep_return_acc: jax.Array   # [N] f64
+    last_ep_return: jax.Array  # [N] f64
+    update_count: jax.Array    # i32
+
+
+def make_optimizer(pcfg: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(pcfg.max_grad_norm),
+        optax.adam(pcfg.learning_rate, eps=pcfg.adam_eps),
+    )
+
+
+def init_train_state(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
+                     n_envs: int, seed: int = 42,
+                     env_seed0: int = 0) -> TrainState:
+    key = jax.random.PRNGKey(seed)
+    key, pkey = jax.random.split(key)
+    params = mlp.init_params(pkey, spec.obs_dim, spec.n_actions)
+    opt_state = make_optimizer(pcfg).init(params)
+    env_state = jax.vmap(lambda s: None)  # placeholder (built below)
+    from ..core import state as S
+
+    env_state = S.reset(cfg, np.arange(env_seed0, env_seed0 + n_envs))
+    obs = jax.vmap(lambda s: spec.obs_fn(cfg, s))(env_state)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        env_state=env_state,
+        obs=obs,
+        key=key,
+        ep_return_acc=jnp.zeros(n_envs, jnp.float64),
+        last_ep_return=jnp.zeros(n_envs, jnp.float64),
+        update_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _sample(params, obs, mask, key):
+    """Masked categorical sample + logp + value (batch)."""
+    logits = mlp.policy_logits(params, obs)
+    logits = mlp.masked_logits(logits, mask)
+    logp_all = jax.nn.log_softmax(logits, axis=-1)
+    action = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1)[..., 0]
+    value = mlp.value_fn(params, obs)
+    return action, logp, value
+
+
+def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
+                    ts: TrainState, step_fn) -> Tuple[TrainState, Transition, jax.Array]:
+    """Scan n_steps of policy+env; returns transitions and last values."""
+    batched = jax.vmap(W.with_autoreset(cfg, step_fn))
+    masks_of = jax.vmap(lambda s: spec.mask_fn(cfg, s))
+
+    def body(carry, _):
+        env_state, obs, key, acc, last_ret = carry
+        mask = masks_of(env_state)
+        key, sk = jax.random.split(key)
+        action, logp, value = _sample(ts.params, obs, mask, sk)
+        env_state, out = batched(env_state, action)
+        acc = acc + out.reward
+        last_ret = jnp.where(out.terminated, acc, last_ret)
+        acc = jnp.where(out.terminated, 0.0, acc)
+        tr = Transition(
+            obs=obs, mask=mask, action=action, logp=logp, value=value,
+            reward=out.reward.astype(F32), done=out.terminated,
+        )
+        return (env_state, out.obs, key, acc, last_ret), tr
+
+    (env_state, obs, key, acc, last_ret), trs = lax.scan(
+        body,
+        (ts.env_state, ts.obs, ts.key, ts.ep_return_acc, ts.last_ep_return),
+        None,
+        length=pcfg.n_steps,
+    )
+    last_value = mlp.value_fn(ts.params, obs)
+    ts = ts._replace(env_state=env_state, obs=obs, key=key,
+                     ep_return_acc=acc, last_ep_return=last_ret)
+    return ts, trs, last_value
+
+
+def compute_gae(pcfg: PPOConfig, trs: Transition, last_value):
+    """SB3 GAE: deltas with (1 - done) bootstrapping, reverse scan."""
+    def body(carry, x):
+        gae, next_value = carry
+        reward, value, done = x
+        nonterminal = 1.0 - done.astype(F32)
+        delta = reward + pcfg.gamma * next_value * nonterminal - value
+        gae = delta + pcfg.gamma * pcfg.gae_lambda * nonterminal * gae
+        return (gae, value), gae
+
+    (_, _), advantages = lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        (trs.reward, trs.value, trs.done),
+        reverse=True,
+    )
+    returns = advantages + trs.value
+    return advantages, returns
+
+
+def _loss_fn(params, pcfg: PPOConfig, batch):
+    obs, mask, action, old_logp, advantage, ret = batch
+    logits = mlp.masked_logits(mlp.policy_logits(params, obs), mask)
+    logp_all = jax.nn.log_softmax(logits, axis=-1)
+    logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1)[..., 0]
+    value = mlp.value_fn(params, obs)
+
+    if pcfg.normalize_advantage:
+        advantage = (advantage - advantage.mean()) / (advantage.std() + 1e-8)
+
+    ratio = jnp.exp(logp - old_logp)
+    pg1 = advantage * ratio
+    pg2 = advantage * jnp.clip(ratio, 1.0 - pcfg.clip_range,
+                               1.0 + pcfg.clip_range)
+    policy_loss = -jnp.minimum(pg1, pg2).mean()
+
+    value_loss = jnp.mean((ret - value) ** 2)
+
+    # masked-categorical entropy: invalid actions have p ~= 0
+    p = jnp.exp(logp_all)
+    ent_terms = jnp.where(mask, p * logp_all, 0.0)
+    entropy = -jnp.sum(ent_terms, axis=-1).mean()
+
+    loss = (policy_loss
+            + pcfg.vf_coef * value_loss
+            - pcfg.ent_coef * entropy)
+    stats = {
+        "loss": loss, "policy_loss": policy_loss, "value_loss": value_loss,
+        "entropy": entropy,
+        "approx_kl": jnp.mean(old_logp - logp),
+        "clip_frac": jnp.mean(
+            (jnp.abs(ratio - 1.0) > pcfg.clip_range).astype(F32)),
+    }
+    return loss, stats
+
+
+def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
+               advantages, returns):
+    """n_epochs x shuffled minibatches, as SB3's training loop."""
+    T, N = trs.action.shape
+    total = T * N
+    n_mb = max(1, total // pcfg.batch_size)
+    mb_size = total // n_mb
+
+    flat = (
+        trs.obs.reshape(total, -1),
+        trs.mask.reshape(total, -1),
+        trs.action.reshape(total),
+        trs.logp.reshape(total),
+        advantages.reshape(total).astype(F32),
+        returns.reshape(total).astype(F32),
+    )
+    optimizer = make_optimizer(pcfg)
+    grad_fn = jax.grad(_loss_fn, has_aux=True)
+
+    def epoch(carry, _):
+        params, opt_state, key = carry
+        key, pk = jax.random.split(key)
+        perm = jax.random.permutation(pk, total)[: n_mb * mb_size]
+        perm = perm.reshape(n_mb, mb_size)
+
+        def minibatch(carry, idx):
+            params, opt_state = carry
+            batch = tuple(x[idx] for x in flat)
+            grads, stats = grad_fn(params, pcfg, batch)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), stats
+
+        (params, opt_state), stats = lax.scan(
+            minibatch, (params, opt_state), perm)
+        return (params, opt_state, key), jax.tree.map(jnp.mean, stats)
+
+    (params, opt_state, key), stats = lax.scan(
+        epoch, (ts.params, ts.opt_state, ts.key), None,
+        length=pcfg.n_epochs)
+    stats = jax.tree.map(jnp.mean, stats)
+    ts = ts._replace(params=params, opt_state=opt_state, key=key,
+                     update_count=ts.update_count + 1)
+    return ts, stats
+
+
+def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
+                         sort_policy=None, use_action_masking=True):
+    """One jitted PPO iteration: rollout + GAE + update."""
+    step_fn = spec.step_fn(sort_policy, use_action_masking)
+
+    def train_iteration(ts: TrainState):
+        ts, trs, last_value = collect_rollout(cfg, pcfg, spec, ts, step_fn)
+        advantages, returns = compute_gae(pcfg, trs, last_value)
+        ts, stats = ppo_update(pcfg, ts, trs, advantages, returns)
+        stats["mean_episode_return"] = ts.last_ep_return.mean()
+        return ts, stats
+
+    return jax.jit(train_iteration)
+
+
+def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
+             n_steps: int, seed0: int = 10_000, sort_policy=None,
+             use_action_masking: bool = True, deterministic: bool = True,
+             key=None):
+    """SB3 ``evaluate_policy`` equivalent: run episodes with the
+    (deterministic) policy, return per-env cumulative rewards."""
+    from ..core import state as S
+
+    step_fn = spec.step_fn(sort_policy, use_action_masking)
+    env_state = S.reset(cfg, np.arange(seed0, seed0 + n_envs))
+    obs = jax.vmap(lambda s: spec.obs_fn(cfg, s))(env_state)
+    batched = jax.vmap(lambda s, a: step_fn(cfg, s, a))
+    masks_of = jax.vmap(lambda s: spec.mask_fn(cfg, s))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def body(carry, _):
+        env_state, obs, key, total = carry
+        mask = masks_of(env_state)
+        logits = mlp.masked_logits(mlp.policy_logits(params, obs), mask)
+        if deterministic:
+            action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            key, sk = jax.random.split(key)
+            action = jax.random.categorical(sk, logits).astype(jnp.int32)
+        env_state, out = batched(env_state, action)
+        return (env_state, out.obs, key, total + out.reward), None
+
+    (env_state, obs, key, total), _ = jax.jit(
+        lambda c: lax.scan(body, c, None, length=n_steps))(
+            (env_state, obs, key, jnp.zeros(n_envs, jnp.float64)))
+    return total

@@ -1,0 +1,93 @@
+"""Learner sanity: shapes, mask-respect, GAE correctness vs a reference
+NumPy implementation, and a short learning-progress smoke test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from marl_sortingenv_tpu.config.config import load_config
+from marl_sortingenv_tpu.learn import ppo
+from marl_sortingenv_tpu.models import mlp
+
+CFG = load_config(max_steps=50, noise_sorting=0.0, balesize=200)
+
+
+def test_gae_matches_numpy_reference():
+    pcfg = ppo.PPOConfig(n_steps=8)
+    T, N = 8, 3
+    rng = np.random.default_rng(0)
+    rewards = rng.normal(size=(T, N)).astype(np.float32)
+    values = rng.normal(size=(T, N)).astype(np.float32)
+    dones = rng.random((T, N)) < 0.2
+    last_value = rng.normal(size=N).astype(np.float32)
+
+    trs = ppo.Transition(
+        obs=jnp.zeros((T, N, 1)), mask=jnp.ones((T, N, 2), bool),
+        action=jnp.zeros((T, N), jnp.int32), logp=jnp.zeros((T, N)),
+        value=jnp.asarray(values), reward=jnp.asarray(rewards),
+        done=jnp.asarray(dones),
+    )
+    adv, ret = jax.jit(lambda t, lv: ppo.compute_gae(pcfg, t, lv))(
+        trs, jnp.asarray(last_value))
+
+    # straightforward reverse-loop reference
+    expected = np.zeros((T, N), np.float32)
+    gae = np.zeros(N, np.float32)
+    next_v = last_value.copy()
+    for t in reversed(range(T)):
+        nonterm = 1.0 - dones[t]
+        delta = rewards[t] + pcfg.gamma * next_v * nonterm - values[t]
+        gae = delta + pcfg.gamma * pcfg.gae_lambda * nonterm * gae
+        expected[t] = gae
+        next_v = values[t]
+    np.testing.assert_allclose(np.asarray(adv), expected, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), expected + values, rtol=1e-5)
+
+
+def test_rollout_shapes_and_masks_respected():
+    pcfg = ppo.PPOConfig(n_steps=12, batch_size=16, n_epochs=1)
+    spec = ppo.spec_for("mono")
+    ts = ppo.init_train_state(CFG, pcfg, spec, n_envs=4)
+    step_fn = spec.step_fn(None, True)
+    ts, trs, last_value = jax.jit(
+        lambda ts: ppo.collect_rollout(CFG, pcfg, spec, ts, step_fn))(ts)
+    assert trs.obs.shape == (12, 4, 29)
+    assert trs.mask.shape == (12, 4, 22)
+    assert trs.action.shape == (12, 4)
+    # sampled actions always valid under the mask
+    chosen_valid = np.take_along_axis(
+        np.asarray(trs.mask), np.asarray(trs.action)[..., None], axis=-1)
+    assert chosen_valid.all()
+
+
+def test_train_iteration_runs_and_improves_entropy_control():
+    pcfg = ppo.PPOConfig(n_steps=64, batch_size=64, n_epochs=2)
+    spec = ppo.spec_for("sort")
+    ts = ppo.init_train_state(CFG, pcfg, spec, n_envs=8)
+    it = ppo.make_train_iteration(CFG, pcfg, spec)
+    ts, stats = it(ts)
+    assert np.isfinite(float(stats["loss"]))
+    ts2, stats2 = it(ts)
+    # params actually changed
+    delta = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, ts.params, ts2.params), 0.0)
+    assert delta > 0
+
+
+def test_sort_agent_learning_signal():
+    # a handful of iterations should beat the random-policy sorting return
+    pcfg = ppo.PPOConfig(n_steps=128, batch_size=256, n_epochs=4)
+    spec = ppo.spec_for("sort")
+    ts = ppo.init_train_state(CFG, pcfg, spec, n_envs=16)
+    it = ppo.make_train_iteration(CFG, pcfg, spec)
+    r0 = float(np.mean(np.asarray(
+        ppo.evaluate(CFG, spec, ts.params, n_envs=8, n_steps=50))))
+    for _ in range(6):
+        ts, stats = it(ts)
+    r1 = float(np.mean(np.asarray(
+        ppo.evaluate(CFG, spec, ts.params, n_envs=8, n_steps=50))))
+    # sorting reward is in [-50, 50] over 50 steps; training should not
+    # collapse and should typically improve
+    assert np.isfinite(r1)
+    assert r1 > r0 - 5.0
