@@ -30,11 +30,14 @@ F64 = jnp.float64
 
 # Seasonal pattern ratios in material order A,B,C,D
 # (utils/input_generator.py:17-20; dict key 1 row 0, key 2 row 1).
-_PATTERNS = jnp.array(
-    [[0.40, 0.15, 0.35, 0.10],
-     [0.15, 0.40, 0.10, 0.35]],
-    F64,
-)
+# Built lazily: this module may be imported with x64 still off (the fast
+# engine path), and a module-level f64 constant would silently truncate.
+def _patterns():
+    return jnp.array(
+        [[0.40, 0.15, 0.35, 0.10],
+         [0.15, 0.40, 0.10, 0.35]],
+        F64,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +125,7 @@ def generate_input(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
     step_counter = jnp.where(switch, 0, st.gen_step_counter)
 
     key = st.gen_pattern_seq[pattern_idx]  # 1 or 2
-    ratios = _PATTERNS[key - 1]
+    ratios = _patterns()[key - 1]
     units = jnp.floor(ratios * F64(bs)).astype(I32)
     remainder = I32(bs) - units.sum()
 

@@ -30,6 +30,7 @@ from jax import lax
 
 from ..config.config import SimConfig
 from ..core import dynamics as D
+from ..core import fast as FE
 from ..core import step as ST
 from ..core import wrappers as W
 from ..core.state import EnvState
@@ -56,27 +57,39 @@ class PPOConfig:
 
 @dataclasses.dataclass(frozen=True)
 class VariantSpec:
-    """Learner-facing description of one env variant."""
+    """Learner-facing description of one env variant.
+
+    ``engine``: 'parity' (bit-exact u64/f64 engine, CPU-friendly) or
+    'fast' (f32/i32/threefry TPU engine, distribution-equivalent)."""
     name: str                 # 'sort' | 'press' | 'mono'
     obs_dim: int
     n_actions: int
     use_mask: bool
+    engine: str = "parity"
 
-    def mask_fn(self, cfg: SimConfig, st: EnvState):
+    def mask_fn(self, cfg: SimConfig, st):
+        mod = FE if self.engine == "fast" else D
         if self.name == "press":
-            return D.press_action_masks(cfg, st)
+            return mod.press_action_masks(cfg, st)
         if self.name == "mono":
-            return D.monolith_action_masks(cfg, st)
+            return mod.monolith_action_masks(cfg, st)
         return jnp.ones(self.n_actions, bool)
 
-    def obs_fn(self, cfg: SimConfig, st: EnvState):
+    def obs_fn(self, cfg: SimConfig, st):
+        mod = FE if self.engine == "fast" else D
         if self.name == "sort":
-            return D.get_sort_obs(cfg, st)
+            return mod.get_sort_obs(cfg, st)
         if self.name == "press":
-            return D.get_press_obs(cfg, st)
-        return D.get_mono_obs(cfg, st)
+            return mod.get_press_obs(cfg, st)
+        return mod.get_mono_obs(cfg, st)
 
     def step_fn(self, sort_policy=None, use_action_masking=True):
+        if self.engine == "fast":
+            if self.name == "sort":
+                return FE.step_sort
+            if self.name == "press":
+                return lambda cfg, st, a: FE.step_press(cfg, st, a, sort_policy)
+            return FE.step_mono_external
         if self.name == "sort":
             return ST.step_sort
         if self.name == "press":
@@ -85,14 +98,27 @@ class VariantSpec:
         return lambda cfg, st, a: ST.step_mono_external(
             cfg, st, a, use_action_masking)
 
+    def wrap_autoreset(self, cfg: SimConfig, step_fn):
+        if self.engine == "fast":
+            return FE.with_autoreset(cfg, step_fn)
+        return W.with_autoreset(cfg, step_fn)
+
+    def reset_batch(self, cfg: SimConfig, n_envs: int, seed0: int = 0):
+        if self.engine == "fast":
+            return FE.reset_batch(cfg, jax.random.PRNGKey(seed0), n_envs)
+        from ..core import state as S
+
+        return S.reset(cfg, np.arange(seed0, seed0 + n_envs))
+
 
 SORT_SPEC = VariantSpec("sort", 13, 2, use_mask=False)
 PRESS_SPEC = VariantSpec("press", 16, 11, use_mask=True)
 MONO_SPEC = VariantSpec("mono", 29, 22, use_mask=True)
 
 
-def spec_for(name: str) -> VariantSpec:
-    return {"sort": SORT_SPEC, "press": PRESS_SPEC, "mono": MONO_SPEC}[name]
+def spec_for(name: str, engine: str = "parity") -> VariantSpec:
+    base = {"sort": SORT_SPEC, "press": PRESS_SPEC, "mono": MONO_SPEC}[name]
+    return dataclasses.replace(base, engine=engine)
 
 
 class Transition(NamedTuple):
@@ -131,10 +157,7 @@ def init_train_state(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
     key, pkey = jax.random.split(key)
     params = mlp.init_params(pkey, spec.obs_dim, spec.n_actions)
     opt_state = make_optimizer(pcfg).init(params)
-    env_state = jax.vmap(lambda s: None)  # placeholder (built below)
-    from ..core import state as S
-
-    env_state = S.reset(cfg, np.arange(env_seed0, env_seed0 + n_envs))
+    env_state = spec.reset_batch(cfg, n_envs, env_seed0)
     obs = jax.vmap(lambda s: spec.obs_fn(cfg, s))(env_state)
     return TrainState(
         params=params,
@@ -142,8 +165,10 @@ def init_train_state(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
         env_state=env_state,
         obs=obs,
         key=key,
-        ep_return_acc=jnp.zeros(n_envs, jnp.float64),
-        last_ep_return=jnp.zeros(n_envs, jnp.float64),
+        ep_return_acc=jnp.zeros(
+            n_envs, jnp.float64 if spec.engine == "parity" else jnp.float32),
+        last_ep_return=jnp.zeros(
+            n_envs, jnp.float64 if spec.engine == "parity" else jnp.float32),
         update_count=jnp.zeros((), jnp.int32),
     )
 
@@ -162,7 +187,7 @@ def _sample(params, obs, mask, key):
 def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
                     ts: TrainState, step_fn) -> Tuple[TrainState, Transition, jax.Array]:
     """Scan n_steps of policy+env; returns transitions and last values."""
-    batched = jax.vmap(W.with_autoreset(cfg, step_fn))
+    batched = jax.vmap(spec.wrap_autoreset(cfg, step_fn))
     masks_of = jax.vmap(lambda s: spec.mask_fn(cfg, s))
 
     def body(carry, _):
@@ -171,7 +196,7 @@ def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
         key, sk = jax.random.split(key)
         action, logp, value = _sample(ts.params, obs, mask, sk)
         env_state, out = batched(env_state, action)
-        acc = acc + out.reward
+        acc = acc + out.reward.astype(acc.dtype)
         last_ret = jnp.where(out.terminated, acc, last_ret)
         acc = jnp.where(out.terminated, 0.0, acc)
         tr = Transition(
@@ -315,10 +340,8 @@ def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
              key=None):
     """SB3 ``evaluate_policy`` equivalent: run episodes with the
     (deterministic) policy, return per-env cumulative rewards."""
-    from ..core import state as S
-
     step_fn = spec.step_fn(sort_policy, use_action_masking)
-    env_state = S.reset(cfg, np.arange(seed0, seed0 + n_envs))
+    env_state = spec.reset_batch(cfg, n_envs, seed0)
     obs = jax.vmap(lambda s: spec.obs_fn(cfg, s))(env_state)
     batched = jax.vmap(lambda s, a: step_fn(cfg, s, a))
     masks_of = jax.vmap(lambda s: spec.mask_fn(cfg, s))
@@ -337,7 +360,8 @@ def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
         env_state, out = batched(env_state, action)
         return (env_state, out.obs, key, total + out.reward), None
 
+    acc_dtype = jnp.float64 if spec.engine == "parity" else jnp.float32
     (env_state, obs, key, total), _ = jax.jit(
         lambda c: lax.scan(body, c, None, length=n_steps))(
-            (env_state, obs, key, jnp.zeros(n_envs, jnp.float64)))
+            (env_state, obs, key, jnp.zeros(n_envs, acc_dtype)))
     return total
