@@ -130,33 +130,56 @@ def reset_batch(cfg: SimConfig, key, n: int) -> FastEnvState:
 # Sampling helpers
 # ---------------------------------------------------------------------------
 
+_LANE_IDX = None
+
+
+def _prefix_sum(x):
+    """Inclusive prefix sum along the last axis via Hillis-Steele doubling
+    (log2(support) cheap roll+add stages — XLA's cumsum lowers poorly on
+    TPU for short axes)."""
+    idx = jax.lax.broadcasted_iota(I32, x.shape, x.ndim - 1)
+    s = 1
+    while s < x.shape[-1]:
+        x = x + jnp.where(idx >= s, jnp.roll(x, s, axis=-1), 0.0)
+        s *= 2
+    return x
+
+
+def _prefix_prod(x):
+    idx = jax.lax.broadcasted_iota(I32, x.shape, x.ndim - 1)
+    s = 1
+    while s < x.shape[-1]:
+        x = x * jnp.where(idx >= s, jnp.roll(x, s, axis=-1), 1.0)
+        s *= 2
+    return x
+
+
 def _hypergeom(key, N, K, n):
     """One draw X ~ Hypergeometric(N, K, n): successes when drawing n
     without replacement from N items of which K are marked.  Exact
-    inverse-CDF over a fixed 128-lane support; all inputs traced i32."""
+    inverse-CDF over a fixed 128-lane support; all inputs traced i32.
+
+    Product-space pmf: unnormalized pmf relative to pmf(lo)=1 is the
+    prefix product of the ratio recurrence
+    P(k+1)/P(k) = (K-k)(n-k) / ((k+1)(N-K-n+k+1)); the worst-case dynamic
+    range (~C(100,50) ~ 1e29) fits f32, so no log/exp is needed."""
     Nf = jnp.maximum(N, 1).astype(F32)
     ks = jnp.arange(_HG_SUPPORT, dtype=I32)
     kf = ks.astype(F32)
     Kf = K.astype(F32)
     nf = n.astype(F32)
-    # ratio r(k) = P(k+1)/P(k); log-pmf built by masked prefix sums of
-    # log-ratios (inside the support band num > 0 and den > 0)
     lo = jnp.maximum(0, n - (N - K))
     hi = jnp.minimum(K, n)
     num = (Kf - kf) * (nf - kf)
     den = (kf + 1.0) * (Nf - Kf - nf + kf + 1.0)
     in_band = (ks >= lo) & (ks < hi)
-    logratio = jnp.where(
-        in_band,
-        jnp.log(jnp.maximum(num, 1e-30)) - jnp.log(jnp.maximum(den, 1e-30)),
-        0.0,
-    )
-    cum = jnp.concatenate([jnp.zeros(1, F32), jnp.cumsum(logratio)[:-1]])
+    ratio = jnp.where(in_band, num / den, 1.0)
+    # exclusive prefix product = pmf[k] relative to pmf[lo] (ones below lo)
+    pp = _prefix_prod(ratio)
+    pmf = jnp.concatenate([jnp.ones(1, F32), pp[:-1]])
     valid = (ks >= lo) & (ks <= hi)
-    shifted = jnp.where(valid, cum - cum[lo], -jnp.inf)
-    m = jnp.max(shifted)
-    p = jnp.exp(shifted - m)
-    cdf = jnp.cumsum(p)
+    pmf = jnp.where(valid, pmf, 0.0)
+    cdf = _prefix_sum(pmf)
     u = jax.random.uniform(key, dtype=F32) * cdf[-1]
     x = jnp.sum((cdf < u).astype(I32))
     return jnp.clip(x, lo, hi)

@@ -309,6 +309,40 @@ def step_mono_model(cfg: SimConfig, st: EnvState,
                                  use_action_masking, press_is_maskable)
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def step_mono_legacy_random(cfg: SimConfig, st: EnvState, lr,
+                            use_action_masking: bool = True):
+    """Path 3 (env_monolith.py:152-164): fully random actions from the
+    *legacy global* NumPy MT19937 stream (``np.random.choice`` /
+    ``np.random.randint``), seeded by set_seed (env_super.py:177).
+    ``lr`` is a ``legacy_random.MTState``; returns (state, lr, out)."""
+    from . import legacy_random as LR
+
+    st = _common_prelude(cfg, st)
+    if use_action_masking:
+        mask = D.monolith_action_masks(cfg, st)
+        n_valid = mask.sum().astype(I32)
+        k, lr = LR.legacy_randint(lr, n_valid)
+        csum = jnp.cumsum(mask.astype(I32))
+        a = jnp.argmax(csum == (k + 1)).astype(I32)
+        sort_mode = a // 11
+        press_disc = a % 11
+        press_id, mat = D.press_discrete_to_action(press_disc)
+        skip = jnp.zeros((), bool)
+        inv_code = jnp.zeros((), I32)
+    else:
+        a, lr = LR.legacy_randint(lr, 22)
+        sort_mode = a // 11
+        press_disc = a % 11
+        # mode='random' without masking sanitizes and *skips* the press
+        # dispatch entirely on invalid (env_monolith.py:246-255)
+        press_id, mat, skip, inv_code = D.sanitize_press_action(
+            cfg, st, press_disc)
+    st, out = _mono_apply(cfg, st, sort_mode, press_id, mat, skip, a)
+    out = out._replace(press_log=jnp.where(skip, inv_code, out.press_log))
+    return st, lr, out
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def step_mono_agent(cfg: SimConfig, st: EnvState, params, apply_fn,
                     use_action_masking: bool = True):

@@ -1,0 +1,202 @@
+"""Evaluation harness: episode runner + 5-policy benchmark.
+
+Equivalents of reference ``src/testing.py`` (``test_env``) and
+``utils/benchmark_models.py`` (``run_model_benchmark`` /
+``benchmark_seed_all``), running on the bit-exact parity engine so that
+cumulative rewards are directly comparable to the published reference
+numbers (BASELINE.md).
+
+The five scenarios per seed (benchmark_models.py:126-183):
+  Random / Rule-Based / PPO Sort-Only / PPO Modular / PPO Monolith
+all on ``Env_3_Monolith`` reset with the same seed.  Note the reference's
+"Random" scenario uses the legacy global NumPy MT19937 stream
+(env_monolith.py:158,162) — covered by core.legacy_random; "Sort-Only"
+falls back to random *masked* pressing via rng_pressing
+(env_monolith.py:213-219), which is bit-exact here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config.config import SimConfig
+from ..core import dynamics as D
+from ..core import state as S
+from ..core import step as ST
+from ..models import mlp
+
+
+@dataclasses.dataclass
+class EpisodeResult:
+    cumulative_reward: float
+    action_sequence: np.ndarray
+    rewards: np.ndarray           # [T] total per step
+    reward_pairs: np.ndarray      # [T, 2] (sort, press)
+    purities: np.ndarray          # [T]
+    final_state: object           # EnvState (unbatched)
+    series: Optional[dict] = None  # dashboard series (collect_series=True)
+
+
+def _scan_episode(cfg, step_thunk, st, steps, collect_series=False):
+    def body(st, _):
+        st, out = step_thunk(st)
+        if collect_series:
+            extra = {
+                "setting": st.sensor_setting,
+                "belt_occupancy": st.belt_occupancy,
+                "belt_counts": st.belt_counts,
+                "cont_true": st.cont_true,
+                "cont_false": st.cont_false,
+                "press_timer": st.press_timer,
+            }
+            return st, (out, extra)
+        return st, out
+
+    st, outs = jax.jit(lambda st: lax.scan(body, st, None, length=steps))(st)
+    return st, outs
+
+
+def episode_series(cfg, outs_and_extra):
+    """Build the dashboard series dict from a collect_series scan."""
+    outs, extra = outs_and_extra
+    return {
+        "sort_reward": np.asarray(outs.sort_reward),
+        "press_reward": np.asarray(outs.press_reward),
+        "purity": np.asarray(outs.purity),
+        "press_log": np.asarray(outs.press_log),
+        "setting": np.asarray(extra["setting"]),
+        "belt_occupancy": np.asarray(extra["belt_occupancy"]),
+        "belt_counts": np.asarray(extra["belt_counts"]),
+        "cont_true": np.asarray(extra["cont_true"]),
+        "cont_false": np.asarray(extra["cont_false"]),
+        "press_timer": np.asarray(extra["press_timer"]),
+    }
+
+
+def run_episode(cfg: SimConfig, seed: int, steps: int, mode: str = "rule_based",
+                sort_params: Optional[mlp.ACParams] = None,
+                press_params: Optional[mlp.ACParams] = None,
+                mono_params: Optional[mlp.ACParams] = None,
+                use_action_masking: bool = True,
+                collect_series: bool = False,
+                render: bool = False, render_kwargs: Optional[dict] = None
+                ) -> EpisodeResult:
+    """``test_env`` equivalent on a Monolith env (testing.py:12-85).
+
+    mode: 'rule_based' | 'model' (modular agents with random fallbacks) |
+    'mono' (monolith agent) | 'random' (legacy global MT19937 stream).
+    """
+    st = S.reset(cfg, seed)
+
+    if mode == "rule_based":
+        thunk = lambda st: ST.step_mono_rule(cfg, st)
+    elif mode == "model":
+        sp = None if sort_params is None else (mlp.policy_logits, sort_params)
+        pp = None if press_params is None else (mlp.policy_logits, press_params)
+        thunk = lambda st: ST.step_mono_model(
+            cfg, st, sp, pp, use_action_masking, True)
+    elif mode == "mono":
+        thunk = lambda st: ST.step_mono_agent(
+            cfg, st, mono_params, mlp.policy_logits, use_action_masking)
+    elif mode == "random":
+        from ..core import legacy_random as LR
+
+        lr = LR.mt19937_init(seed)
+        stp = (st, lr)
+
+        def thunk_pair(pair):
+            st, lr = pair
+            st, lr, out = ST.step_mono_legacy_random(
+                cfg, st, lr, use_action_masking)
+            return (st, lr), out
+
+        (st, lr), outs = jax.jit(
+            lambda p: lax.scan(lambda c, _: thunk_pair(c), p, None,
+                               length=steps))(stp)
+        return _pack(st, outs)
+    else:
+        raise ValueError(mode)
+
+    st, scanned = _scan_episode(cfg, thunk, st, steps,
+                                collect_series=collect_series or render)
+    if collect_series or render:
+        outs, extra = scanned
+        res = _pack(st, outs)
+        res.series = episode_series(cfg, scanned)
+        if render:
+            from ..viz.dashboard import plot_env
+
+            plot_env(cfg, res.series, st, seed=seed,
+                     **(render_kwargs or {"save": True}))
+        return res
+    return _pack(st, scanned)
+
+
+def _pack(st, outs) -> EpisodeResult:
+    rewards = np.asarray(outs.reward)
+    return EpisodeResult(
+        cumulative_reward=float(rewards.sum()),
+        action_sequence=np.asarray(outs.action),
+        rewards=rewards,
+        reward_pairs=np.stack(
+            [np.asarray(outs.sort_reward), np.asarray(outs.press_reward)], 1),
+        purities=np.asarray(outs.purity),
+        final_state=st,
+    )
+
+
+POLICY_KEYS = ["Random", "Rule-Based", "PPO Sort-Only", "PPO Modular",
+               "PPO Monolith"]
+
+
+def benchmark_seed_all(cfg: SimConfig, seed: int, steps: int,
+                       sort_params=None, press_params=None, mono_params=None,
+                       use_action_masking: bool = True,
+                       include_random: bool = True) -> Dict[str, float]:
+    """All five scenarios for one seed (benchmark_models.py:126-183)."""
+    res: Dict[str, float] = {"seed": seed}
+    if include_random:
+        res["Random"] = run_episode(
+            cfg, seed, steps, "random",
+            use_action_masking=use_action_masking).cumulative_reward
+    res["Rule-Based"] = run_episode(
+        cfg, seed, steps, "rule_based").cumulative_reward
+    res["PPO Sort-Only"] = run_episode(
+        cfg, seed, steps, "model", sort_params=sort_params,
+        use_action_masking=use_action_masking).cumulative_reward
+    res["PPO Modular"] = run_episode(
+        cfg, seed, steps, "model", sort_params=sort_params,
+        press_params=press_params,
+        use_action_masking=use_action_masking).cumulative_reward
+    if mono_params is not None:
+        res["PPO Monolith"] = run_episode(
+            cfg, seed, steps, "mono", mono_params=mono_params,
+            use_action_masking=use_action_masking).cumulative_reward
+    return res
+
+
+def run_model_benchmark(cfg: SimConfig, num_seeds: int = 10, steps: int = 200,
+                        sort_params=None, press_params=None, mono_params=None,
+                        use_action_masking: bool = True,
+                        include_random: bool = True):
+    """Mean/std per policy over seeds 1..num_seeds
+    (benchmark_models.py:19-119).  Returns {policy: {mean, std}}."""
+    rows: List[Dict[str, float]] = []
+    for seed in range(1, num_seeds + 1):
+        rows.append(benchmark_seed_all(
+            cfg, seed, steps, sort_params, press_params, mono_params,
+            use_action_masking, include_random))
+    summary = {}
+    for key in POLICY_KEYS:
+        vals = [r[key] for r in rows if key in r]
+        if vals:
+            summary[key] = {
+                "mean": float(np.mean(vals)), "std": float(np.std(vals))
+            }
+    return summary, rows

@@ -1,0 +1,181 @@
+"""High-level training orchestration — the ``RL_Trainer`` /
+``Train_Agent`` / ``run_training_flow`` equivalents (reference
+``src/training.py:51-265`` and ``main.py:137-263``), vectorized.
+
+The reference's three-stage modular pipeline:
+  [1/3] train Sorting agent (no masking applies to its Discrete(2) space)
+  [2/3] train Pressing agent with the frozen Sorting agent embedded in the
+        env step (training.py:161-186 loads the latest sorting model)
+  [3/3] train Monolith agent
+then the 5-policy benchmark (main.py:178-185).
+
+SB3-behavioral pieces kept: periodic eval on a fixed-seed eval env with
+best-checkpoint retention (EvalCallback + training.py:199-209), final
+10-episode evaluation, model save with prev/ rotation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config.config import SimConfig
+from ..models import mlp
+from ..utils import checkpoint as CK
+from ..utils.metrics import MetricsLogger
+from . import ppo
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: mlp.ACParams
+    final_eval_mean: float
+    final_eval_std: float
+    history: list
+
+
+def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
+                n_envs: int = 64, use_action_masking: bool = True,
+                sort_params: Optional[mlp.ACParams] = None,
+                seed: int = 42, engine: str = "fast",
+                eval_freq: int = 10_000, eval_envs: int = 10,
+                models_dir: str = "./models",
+                save_prefix: Optional[str] = None,
+                pcfg: Optional[ppo.PPOConfig] = None,
+                logger: Optional[MetricsLogger] = None,
+                verbose: bool = True) -> TrainResult:
+    """``Train_Agent`` equivalent.  ``variant``: 'sort'|'press'|'mono'.
+
+    Masking policy mirrors training.py:57-68: only 'press' and 'mono' use
+    the ActionMasker path; with masking off their invalid actions go
+    through the sanitize path inside the env step."""
+    spec = ppo.spec_for(variant, engine=engine)
+    masking = use_action_masking and spec.use_mask
+
+    if pcfg is None:
+        # SB3 collects 2048 samples per iteration on 1 env; keep the same
+        # per-iteration sample count spread over the vector batch
+        n_steps = max(8, 2048 // n_envs)
+        pcfg = ppo.PPOConfig(n_steps=n_steps,
+                             batch_size=min(64 * max(1, n_envs // 16), 2048))
+
+    sort_policy = None
+    if variant == "press" and sort_params is not None:
+        sort_policy = (mlp.policy_logits, sort_params)
+
+    ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=n_envs, seed=seed)
+    it = ppo.make_train_iteration(cfg, pcfg, spec, sort_policy, masking)
+
+    samples_per_iter = pcfg.n_steps * n_envs
+    n_iters = max(1, total_timesteps // samples_per_iter)
+
+    best_eval = -np.inf
+    best_params = ts.params
+    history = []
+    next_eval = eval_freq
+    t0 = time.time()
+
+    for k in range(n_iters):
+        ts, stats = it(ts)
+        steps_done = (k + 1) * samples_per_iter
+        history.append({
+            "steps": steps_done,
+            **{kk: float(v) for kk, v in stats.items()},
+        })
+        if logger is not None:
+            logger.log(steps_done, {f"train/{kk}": float(v)
+                                    for kk, v in stats.items()})
+        if steps_done >= next_eval:
+            next_eval += eval_freq
+            rets = np.asarray(ppo.evaluate(
+                cfg, spec, ts.params, n_envs=eval_envs, n_steps=cfg.max_steps,
+                seed0=99, sort_policy=sort_policy,
+                use_action_masking=masking))
+            m = float(rets.mean())
+            if logger is not None:
+                logger.log(steps_done, {"eval/mean_return": m})
+            if m > best_eval:
+                best_eval = m
+                best_params = ts.params
+            if verbose:
+                print(f"  [{variant}] {steps_done}/{total_timesteps} "
+                      f"eval {m:.2f} (best {best_eval:.2f})")
+
+    # final evaluation, keep best checkpoint if better (training.py:196-209)
+    rets = np.asarray(ppo.evaluate(
+        cfg, spec, ts.params, n_envs=eval_envs, n_steps=cfg.max_steps,
+        seed0=99, sort_policy=sort_policy, use_action_masking=masking))
+    final_mean, final_std = float(rets.mean()), float(rets.std())
+    params = ts.params
+    if best_eval > final_mean:
+        rets_b = np.asarray(ppo.evaluate(
+            cfg, spec, best_params, n_envs=eval_envs,
+            n_steps=cfg.max_steps, seed0=99, sort_policy=sort_policy,
+            use_action_masking=masking))
+        if float(rets_b.mean()) > final_mean:
+            params = best_params
+            final_mean, final_std = float(rets_b.mean()), float(rets_b.std())
+            if verbose:
+                print("  🏅 using best checkpoint")
+
+    if save_prefix:
+        CK.save_model(params, save_prefix, total_timesteps, models_dir)
+    if verbose:
+        dur = time.time() - t0
+        print(f"  [{variant}] done in {dur:.1f}s — final "
+              f"{final_mean:.2f} ± {final_std:.2f}")
+    return TrainResult(params, final_mean, final_std, history)
+
+
+def run_training_flow(cfg: SimConfig, use_action_masking: bool,
+                      total_timesteps: int = 100_000, n_envs: int = 64,
+                      seed: int = 42, engine: str = "fast",
+                      bench_seeds: int = 10, steps_test: int = 200,
+                      models_dir: str = "./models",
+                      logger: Optional[MetricsLogger] = None,
+                      verbose: bool = True) -> Dict:
+    """main.py:137-185: sort -> press(frozen sort) -> mono -> benchmark."""
+    tagm = "Masked" if use_action_masking else "NoMask"
+    if verbose:
+        print(f"\n[1/3] Training Sorting Agent ({tagm})...")
+    sort_res = train_agent(cfg, "sort", total_timesteps, n_envs,
+                           use_action_masking, seed=seed, engine=engine,
+                           models_dir=models_dir,
+                           save_prefix=f"PPO_Sorting_{tagm}", logger=logger,
+                           verbose=verbose)
+    if verbose:
+        print(f"\n[2/3] Training Pressing Agent ({tagm})...")
+    press_res = train_agent(cfg, "press", total_timesteps, n_envs,
+                            use_action_masking,
+                            sort_params=sort_res.params, seed=seed,
+                            engine=engine, models_dir=models_dir,
+                            save_prefix=f"PPO_Pressing_{tagm}",
+                            logger=logger, verbose=verbose)
+    if verbose:
+        print(f"\n[3/3] Training Monolith Agent ({tagm})...")
+    mono_res = train_agent(cfg, "mono", total_timesteps, n_envs,
+                           use_action_masking, seed=seed, engine=engine,
+                           models_dir=models_dir,
+                           save_prefix=f"PPO_Monolith_{tagm}", logger=logger,
+                           verbose=verbose)
+
+    from ..eval import harness
+
+    if verbose:
+        print("\n--- Running Final Model Benchmark ---")
+    summary, rows = harness.run_model_benchmark(
+        cfg, num_seeds=bench_seeds, steps=steps_test,
+        sort_params=sort_res.params, press_params=press_res.params,
+        mono_params=mono_res.params,
+        use_action_masking=use_action_masking)
+    if verbose:
+        for k, v in summary.items():
+            print(f"  {k:>14}: {v['mean']:8.2f} ± {v['std']:.2f}")
+    return {
+        "sort": sort_res, "press": press_res, "mono": mono_res,
+        "benchmark": summary, "benchmark_rows": rows,
+    }
