@@ -94,6 +94,46 @@ def with_autoreset(cfg: SimConfig, step_fn: Callable):
     return stepped
 
 
+def with_overflow_termination(cfg: SimConfig, step_fn: Callable,
+                              variant: str = "mono"):
+    """``step(check_overflow=True)`` semantics (reference
+    env_1_sort.py:133-142, env_2_press.py:145-153,
+    env_monolith.py:265-272): if any container exceeds capacity after the
+    step, the episode terminates with ``overflow_termination_penalty``
+    (-10), logged as (0, -10) for sort/press envs and (-5, -5) for the
+    monolith.
+
+    Deviation note: the reference checks overflow *before* computing the
+    normal rewards, so its terminal step leaves the last-press flags
+    unreset; this wrapper replaces the already-computed rewards, which is
+    equivalent at episode granularity (the flag difference only matters
+    after termination).  No reference caller enables this path
+    (SURVEY.md §2.1)."""
+
+    def stepped(st, action):
+        st, out = step_fn(cfg, st, action)
+        overflow = D.detect_overflow(cfg, st)
+        pen = jnp.asarray(cfg.overflow_termination_penalty, F64)
+        if variant == "mono":
+            sr = jnp.where(overflow, pen / 2.0, out.sort_reward)
+            pr = jnp.where(overflow, pen / 2.0, out.press_reward)
+        elif variant == "sort":
+            sr = jnp.where(overflow, 0.0, out.sort_reward)
+            pr = jnp.where(overflow, pen, out.press_reward)
+        else:
+            sr = jnp.where(overflow, 0.0, out.sort_reward)
+            pr = jnp.where(overflow, pen, out.press_reward)
+        out = out._replace(
+            reward=jnp.where(overflow, pen, out.reward),
+            sort_reward=sr,
+            press_reward=pr,
+            terminated=out.terminated | overflow,
+        )
+        return st, out
+
+    return stepped
+
+
 def batched_step(cfg: SimConfig, step_fn: Callable, auto_reset: bool = True):
     """vmap a variant step over a leading instance axis."""
     single = with_autoreset(cfg, step_fn) if auto_reset else (
