@@ -1,0 +1,71 @@
+"""CLI orchestration, benchmark plots, analysis figures."""
+
+import json
+import os
+
+import numpy as np
+
+from marl_sortingenv_tpu.config.config import load_config
+from marl_sortingenv_tpu.eval import plots
+from marl_sortingenv_tpu.viz import analysis
+
+
+def test_make_benchmark_dir_numbering(tmp_path):
+    base = str(tmp_path / "benchmarks")
+    d1 = plots.make_benchmark_dir(base, "benchmark_x")
+    d2 = plots.make_benchmark_dir(base, "benchmark_x")
+    assert d1.endswith("1_benchmark_x")
+    assert d2.endswith("2_benchmark_x")
+
+
+def test_plot_benchmark(tmp_path):
+    summary = {k: {"mean": float(i * 10 - 20), "std": 1.0}
+               for i, k in enumerate(plots.LABELS)}
+    out = plots.plot_benchmark(summary, str(tmp_path), True, 3)
+    assert os.path.exists(out)
+    out2 = plots.plot_published_summary(
+        str(tmp_path / "dumbbell.png"), ours=summary)
+    assert os.path.exists(out2)
+
+
+def test_analysis_figures(tmp_path):
+    cfg = load_config()
+    paths = analysis.run_env_analysis(cfg, str(tmp_path))
+    for p in paths:
+        assert os.path.exists(p)
+
+
+def test_cli_env_analysis(tmp_path):
+    from marl_sortingenv_tpu import main as M
+
+    args = M.build_parser().parse_args([
+        "--env-analysis", "--steps", "30", "--seed", "42",
+        "--fig-dir", str(tmp_path), "--log-dir", str(tmp_path / "log"),
+        "--models-dir", str(tmp_path / "models"), "--tag", "t",
+    ])
+    out = M.run_sim(args)
+    assert "env_analysis" in out
+    vals = out["env_analysis"]
+    assert len(vals) == 4
+    assert all(np.isfinite(v) for v in vals.values())
+
+
+def test_cli_tiny_training_flow(tmp_path):
+    from marl_sortingenv_tpu import main as M
+
+    args = M.build_parser().parse_args([
+        "--train-and-benchmark", "--timesteps", "512", "--steps", "30",
+        "--n-envs", "8", "--bench-seeds", "2", "--engine", "parity",
+        "--fig-dir", str(tmp_path), "--log-dir", str(tmp_path / "log"),
+        "--models-dir", str(tmp_path / "models"), "--tag", "t",
+    ])
+    out = M.run_sim(args)
+    bench = out["t_Masked"]
+    assert "Rule-Based" in bench and "PPO Monolith" in bench
+    # artifacts exist
+    assert os.path.exists(tmp_path / "models")
+    bdirs = os.listdir(tmp_path / "benchmarks")
+    assert len(bdirs) == 1
+    sj = os.path.join(tmp_path, "benchmarks", bdirs[0], "summary.json")
+    with open(sj) as f:
+        assert "Rule-Based" in json.load(f)
