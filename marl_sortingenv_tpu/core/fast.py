@@ -37,6 +37,7 @@ from jax import lax
 from ..config.config import SimConfig
 
 I32 = jnp.int32
+I16 = jnp.int16
 F32 = jnp.float32
 
 _PATTERNS = jnp.array(
@@ -63,8 +64,8 @@ class FastEnvState(NamedTuple):
     press_mat: jax.Array      # i32[2]
     press_n: jax.Array        # i32[2]
     press_q: jax.Array        # f32[2]
-    bale_size: jax.Array      # i32[5, MAX]
-    bale_qual: jax.Array      # i32[5, MAX]
+    bale_size: jax.Array      # i16[5, MAX] (sizes <= total episode input)
+    bale_qual: jax.Array      # i16[5, MAX]
     bale_cnt: jax.Array       # i32[5]
     last_press_started: jax.Array  # bool
     last_press_amount: jax.Array   # i32
@@ -107,8 +108,8 @@ def reset(cfg: SimConfig, key) -> FastEnvState:
         press_mat=jnp.zeros(2, I32),
         press_n=jnp.zeros(2, I32),
         press_q=jnp.zeros(2, F32),
-        bale_size=jnp.zeros((5, cfg.max_bales), I32),
-        bale_qual=jnp.zeros((5, cfg.max_bales), I32),
+        bale_size=jnp.zeros((5, cfg.max_bales), I16),
+        bale_qual=jnp.zeros((5, cfg.max_bales), I16),
         bale_cnt=jnp.zeros(5, I32),
         last_press_started=jnp.zeros((), bool),
         last_press_amount=jnp.zeros((), I32),
@@ -294,26 +295,30 @@ def _sort_material(cfg: SimConfig, st: FastEnvState):
     return purity, st
 
 
-def _press_bale(cfg: SimConfig, st: FastEnvState, m, n, q) -> FastEnvState:
+def _press_bale(cfg: SimConfig, st: FastEnvState, m, n, q,
+                pred) -> FastEnvState:
+    """Bale out (predicated): touches only the three bale leaves, and only
+    row ``m`` of the ring buffers — avoids whole-state selects on the hot
+    path (the buffers dominate state size)."""
     bs = cfg.effective_balesize
-    q_int = (q * 100.0).astype(I32)
+    q_int = (q * 100.0).astype(I16)
     full = n // bs
-    rem = n % bs
+    rem = (n % bs).astype(I16)
     row_size = st.bale_size[m]
     row_qual = st.bale_qual[m]
     cnt = st.bale_cnt[m]
     idx = jnp.arange(cfg.max_bales, dtype=I32)
-    new_mask = (idx >= cnt) & (idx < cnt + full)
-    row_size = jnp.where(new_mask, bs, row_size)
+    new_mask = pred & (idx >= cnt) & (idx < cnt + full)
+    row_size = jnp.where(new_mask, I16(bs), row_size)
     row_qual = jnp.where(new_mask, q_int, row_qual)
-    cnt = (cnt + full).astype(I32)
+    cnt = jnp.where(pred, cnt + full, cnt).astype(I32)
     big_rem = rem.astype(F32) > F32(bs) * F32(cfg.bale_remainder_threshold)
     has_rem = rem > 0
-    own = has_rem & (big_rem | (cnt == 0))
+    own = pred & has_rem & (big_rem | (cnt == 0))
     app = own & (idx == cnt)
     row_size = jnp.where(app, rem, row_size)
     row_qual = jnp.where(app, q_int, row_qual)
-    merge = has_rem & ~big_rem & (cnt > 0)
+    merge = pred & has_rem & ~big_rem & (cnt > 0)
     mm = merge & (idx == cnt - 1)
     row_size = jnp.where(mm, row_size + rem, row_size)
     cnt = (cnt + jnp.where(own, I32(1), I32(0))).astype(I32)
@@ -329,9 +334,8 @@ def _check_press_status(cfg: SimConfig, st: FastEnvState) -> FastEnvState:
         busy = st.press_timer[p] > 0
         timer = jnp.where(busy, st.press_timer[p] - 1, st.press_timer[p])
         done = busy & (timer == 0)
-        baled = _press_bale(cfg, st, st.press_mat[p], st.press_n[p],
-                            st.press_q[p])
-        st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, baled)
+        st = _press_bale(cfg, st, st.press_mat[p], st.press_n[p],
+                         st.press_q[p], done)
         st = st._replace(
             press_timer=st.press_timer.at[p].set(timer),
             press_mat=st.press_mat.at[p].set(jnp.where(done, 0, st.press_mat[p])),
@@ -347,34 +351,39 @@ def _container_level(st: FastEnvState, m):
         st.cont_true[4])
 
 
-def _use_press(cfg: SimConfig, st: FastEnvState, press, m) -> FastEnvState:
+def _use_press(cfg: SimConfig, st: FastEnvState, press, m,
+               pred) -> FastEnvState:
+    """Load a press (predicated): touches only the leaves it modifies."""
     p = press - 1
     busy = st.press_timer[p] > 0
+    go = pred & ~busy
     total = _container_level(st, m)
     true_m = jnp.where(m < 4, st.cont_true[m], total)
     quality = jnp.where(
         (m < 4) & (total > 0),
         true_m.astype(F32) / jnp.maximum(total, 1).astype(F32), 0.0)
     press_time = jnp.where(press == 1, cfg.press_time_1, cfg.press_time_2)
-    started = st._replace(
-        last_press_started=jnp.ones_like(st.last_press_started),
-        last_press_amount=total.astype(I32),
-        cont_true=st.cont_true.at[m].set(0),
-        cont_false=jnp.where(
-            (m < 4) & (jnp.arange(4) == jnp.minimum(m, 3)), 0, st.cont_false),
-        press_timer=st.press_timer.at[p].set(press_time),
-        press_mat=st.press_mat.at[p].set(m),
-        press_n=st.press_n.at[p].set(total.astype(I32)),
-        press_q=st.press_q.at[p].set(quality),
+    clear_true = go & (jnp.arange(5) == m)
+    clear_false = go & (m < 4) & (jnp.arange(4) == jnp.minimum(m, 3))
+    return st._replace(
+        last_press_started=st.last_press_started | go,
+        last_press_amount=jnp.where(go, total, st.last_press_amount).astype(I32),
+        cont_true=jnp.where(clear_true, 0, st.cont_true),
+        cont_false=jnp.where(clear_false, 0, st.cont_false),
+        press_timer=st.press_timer.at[p].set(
+            jnp.where(go, press_time, st.press_timer[p])),
+        press_mat=st.press_mat.at[p].set(
+            jnp.where(go, m, st.press_mat[p])),
+        press_n=st.press_n.at[p].set(
+            jnp.where(go, total, st.press_n[p]).astype(I32)),
+        press_q=st.press_q.at[p].set(
+            jnp.where(go, quality, st.press_q[p])),
     )
-    return jax.tree.map(lambda a, b: jnp.where(busy, a, b), st, started)
 
 
 def _press_action_rules(cfg: SimConfig, st: FastEnvState, press_id, m):
     st = _check_press_status(cfg, st)
-    used = _use_press(cfg, st, jnp.maximum(press_id, 1), m)
-    noop = press_id == 0
-    return jax.tree.map(lambda a, b: jnp.where(noop, a, b), st, used)
+    return _use_press(cfg, st, jnp.maximum(press_id, 1), m, press_id != 0)
 
 
 def press_action_masks(cfg: SimConfig, st: FastEnvState):
