@@ -57,11 +57,14 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
     masking = use_action_masking and spec.use_mask
 
     if pcfg is None:
-        # SB3 collects 2048 samples per iteration on 1 env; keep the same
-        # per-iteration sample count spread over the vector batch
-        n_steps = max(8, 2048 // n_envs)
-        pcfg = ppo.PPOConfig(n_steps=n_steps,
-                             batch_size=min(64 * max(1, n_envs // 16), 2048))
+        # SB3 collects 2048 samples per iteration on 1 env and updates in
+        # minibatches of 64.  Preserving that *cadence* matters for
+        # sample-efficiency parity at the reference's small 100k budget:
+        # rollout fragments shorter than ~128 steps starve GAE and large
+        # minibatches starve the update count (verified empirically:
+        # n_envs=256/n_steps=8 plateaus, n_envs=8/n_steps=256 learns).
+        n_steps = max(128, 2048 // max(1, n_envs))
+        pcfg = ppo.PPOConfig(n_steps=n_steps, batch_size=64)
 
     sort_policy = None
     if variant == "press" and sort_params is not None:
@@ -132,7 +135,7 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
 
 
 def run_training_flow(cfg: SimConfig, use_action_masking: bool,
-                      total_timesteps: int = 100_000, n_envs: int = 64,
+                      total_timesteps: int = 100_000, n_envs: int = 16,
                       seed: int = 42, engine: str = "fast",
                       bench_seeds: int = 10, steps_test: int = 200,
                       models_dir: str = "./models",

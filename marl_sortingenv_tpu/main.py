@@ -116,7 +116,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bench-seeds", type=int, default=10)     # main.py:52
     p.add_argument("--noise-sorting", type=float, default=0.0)  # main.py:42
     p.add_argument("--balesize", type=int, default=200)       # main.py:43
-    p.add_argument("--n-envs", type=int, default=64)
+    p.add_argument("--n-envs", type=int, default=16)
     p.add_argument("--engine", choices=["fast", "parity"], default="fast")
     p.add_argument("--config", default=None, help="reference-format yml")
     p.add_argument("--tag", default=None)
