@@ -386,6 +386,18 @@ def _press_action_rules(cfg: SimConfig, st: FastEnvState, press_id, m):
     return _use_press(cfg, st, jnp.maximum(press_id, 1), m, press_id != 0)
 
 
+def _validate_press(cfg: SimConfig, st: FastEnvState, press_id, m):
+    """Sanitize semantics (reference env_super.py:811-836): no-op always
+    valid; otherwise the press must be idle and the container must hold
+    >= balesize."""
+    busy = jnp.where(
+        press_id == 1, st.press_timer[0] > 0,
+        jnp.where(press_id == 2, st.press_timer[1] > 0, False))
+    level = _container_level(st, m)
+    ok = (~busy) & (level >= cfg.effective_balesize)
+    return jnp.where(press_id == 0, True, ok)
+
+
 def press_action_masks(cfg: SimConfig, st: FastEnvState):
     levels = jnp.concatenate(
         [st.cont_true[:4] + st.cont_false, st.cont_true[4:5]])
@@ -528,7 +540,8 @@ def step_sort(cfg: SimConfig, st: FastEnvState, action):
                            jnp.zeros((), F32), purity)
 
 
-def step_press(cfg: SimConfig, st: FastEnvState, action, sort_policy=None):
+def step_press(cfg: SimConfig, st: FastEnvState, action, sort_policy=None,
+               use_action_masking: bool = True):
     st = _update_environment(cfg, st)
     if sort_policy is not None:
         apply_fn, params = sort_policy
@@ -539,6 +552,11 @@ def step_press(cfg: SimConfig, st: FastEnvState, action, sort_policy=None):
     a = jnp.asarray(action, I32)
     press_id = jnp.where(a == 0, 0, jnp.where(a <= 5, 1, 2)).astype(I32)
     mat = jnp.where(a == 0, 0, (a - 1) % 5).astype(I32)
+    if not use_action_masking:
+        # invalid actions become no-ops (timers still tick, env_2_press.py:138)
+        valid = _validate_press(cfg, st, press_id, mat)
+        press_id = jnp.where(valid, press_id, 0).astype(I32)
+        mat = jnp.where(valid, mat, 0).astype(I32)
     st = _press_action_rules(cfg, st, press_id, mat)
     reward, st = _press_reward(cfg, st)
     obs = get_press_obs(cfg, st)
@@ -547,7 +565,8 @@ def step_press(cfg: SimConfig, st: FastEnvState, action, sort_policy=None):
                            jnp.zeros((), F32), reward, purity)
 
 
-def step_mono_external(cfg: SimConfig, st: FastEnvState, action):
+def step_mono_external(cfg: SimConfig, st: FastEnvState, action,
+                       use_action_masking: bool = True):
     st = _update_environment(cfg, st)
     a = jnp.asarray(action, I32)
     sort_mode = a // 11
@@ -556,7 +575,15 @@ def step_mono_external(cfg: SimConfig, st: FastEnvState, action):
     press_id = jnp.where(press_disc == 0, 0,
                          jnp.where(press_disc <= 5, 1, 2)).astype(I32)
     mat = jnp.where(press_disc == 0, 0, (press_disc - 1) % 5).astype(I32)
-    st = _press_action_rules(cfg, st, press_id, mat)
+    if not use_action_masking:
+        # invalid external action: skip the press dispatch entirely,
+        # timers frozen (the reference quirk, env_monolith.py:237-243)
+        valid = _validate_press(cfg, st, press_id, mat)
+        dispatched = _press_action_rules(cfg, st, press_id, mat)
+        st = jax.tree.map(lambda a_, b_: jnp.where(valid, b_, a_),
+                          st, dispatched)
+    else:
+        st = _press_action_rules(cfg, st, press_id, mat)
     sr = _sorting_reward(cfg, st)
     pr, st = _press_reward(cfg, st)
     obs = get_mono_obs(cfg, st)

@@ -344,10 +344,28 @@ def step_mono_legacy_random(cfg: SimConfig, st: EnvState, lr,
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
+def step_mono_policy(cfg: SimConfig, st: EnvState, params, apply_fn,
+                     use_action_masking: bool = True):
+    """The benchmark's monolith scenario (testing.py:37-44 +
+    env_monolith.py path 1): the model predicts deterministically on the
+    *previous step's* observation (and mask, iff masking is on), and the
+    chosen flat action goes through the external step path (sanitize +
+    timer-freeze quirk when unmasked)."""
+    obs = D.get_mono_obs(cfg, st)          # pre-step = last step's obs
+    if use_action_masking:
+        mask = D.monolith_action_masks(cfg, st)
+        flat = _masked_mlp_predict(lambda o: apply_fn(params, o), obs, mask)
+    else:
+        flat = _mlp_predict(lambda o: apply_fn(params, o), obs)
+    return step_mono_external(cfg, st, flat, use_action_masking)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def step_mono_agent(cfg: SimConfig, st: EnvState, params, apply_fn,
                     use_action_masking: bool = True):
     """Path 2 (env_monolith.py:144-150): internally stored monolith agent,
-    deterministic masked predict on the combined obs."""
+    deterministic masked predict on the combined obs (the reference always
+    passes the mask on this path regardless of the masking flag)."""
     st = _common_prelude(cfg, st)
     obs = D.get_mono_obs(cfg, st)
     mask = D.monolith_action_masks(cfg, st)

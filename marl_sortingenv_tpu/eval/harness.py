@@ -102,7 +102,9 @@ def run_episode(cfg: SimConfig, seed: int, steps: int, mode: str = "rule_based",
         thunk = lambda st: ST.step_mono_model(
             cfg, st, sp, pp, use_action_masking, True)
     elif mode == "mono":
-        thunk = lambda st: ST.step_mono_agent(
+        # the benchmark passes the model to test_env, which predicts on the
+        # previous obs (masked iff masking on) and steps the external path
+        thunk = lambda st: ST.step_mono_policy(
             cfg, st, mono_params, mlp.policy_logits, use_action_masking)
     elif mode == "random":
         from ..core import legacy_random as LR

@@ -88,8 +88,10 @@ class VariantSpec:
             if self.name == "sort":
                 return FE.step_sort
             if self.name == "press":
-                return lambda cfg, st, a: FE.step_press(cfg, st, a, sort_policy)
-            return FE.step_mono_external
+                return lambda cfg, st, a: FE.step_press(
+                    cfg, st, a, sort_policy, use_action_masking)
+            return lambda cfg, st, a: FE.step_mono_external(
+                cfg, st, a, use_action_masking)
         if self.name == "sort":
             return ST.step_sort
         if self.name == "press":
@@ -185,14 +187,20 @@ def _sample(params, obs, mask, key):
 
 
 def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
-                    ts: TrainState, step_fn) -> Tuple[TrainState, Transition, jax.Array]:
-    """Scan n_steps of policy+env; returns transitions and last values."""
+                    ts: TrainState, step_fn,
+                    use_action_masking: bool = True
+                    ) -> Tuple[TrainState, Transition, jax.Array]:
+    """Scan n_steps of policy+env; returns transitions and last values.
+    With masking off the policy samples the plain categorical (SB3's
+    non-maskable PPO path) and the env sanitizes invalid actions."""
     batched = jax.vmap(spec.wrap_autoreset(cfg, step_fn))
     masks_of = jax.vmap(lambda s: spec.mask_fn(cfg, s))
+    n = ts.obs.shape[0]
+    ones = jnp.ones((n, spec.n_actions), bool)
 
     def body(carry, _):
         env_state, obs, key, acc, last_ret = carry
-        mask = masks_of(env_state)
+        mask = masks_of(env_state) if use_action_masking else ones
         key, sk = jax.random.split(key)
         action, logp, value = _sample(ts.params, obs, mask, sk)
         env_state, out = batched(env_state, action)
@@ -325,7 +333,8 @@ def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
     step_fn = spec.step_fn(sort_policy, use_action_masking)
 
     def train_iteration(ts: TrainState):
-        ts, trs, last_value = collect_rollout(cfg, pcfg, spec, ts, step_fn)
+        ts, trs, last_value = collect_rollout(cfg, pcfg, spec, ts, step_fn,
+                                              use_action_masking)
         advantages, returns = compute_gae(pcfg, trs, last_value)
         ts, stats = ppo_update(pcfg, ts, trs, advantages, returns)
         stats["mean_episode_return"] = ts.last_ep_return.mean()
@@ -350,8 +359,12 @@ def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
 
     def body(carry, _):
         env_state, obs, key, total = carry
-        mask = masks_of(env_state)
-        logits = mlp.masked_logits(mlp.policy_logits(params, obs), mask)
+        logits = mlp.policy_logits(params, obs)
+        if use_action_masking:
+            # SB3 predict receives the mask only when masking is enabled
+            # (testing.py:40-44); without it the raw argmax/sample is used
+            # and the env sanitizes invalid actions
+            logits = mlp.masked_logits(logits, masks_of(env_state))
         if deterministic:
             action = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
