@@ -119,3 +119,38 @@ def test_fast_vs_parity_statistical_match():
     lvl_f = (np.asarray(stf_f.cont_true).sum(-1)
              + np.asarray(stf_f.cont_false).sum(-1)).mean()
     assert abs(lvl_p - lvl_f) / max(lvl_p, 1) < 0.15, (lvl_p, lvl_f)
+
+
+def test_fast_unmasked_sanitize_invariants():
+    """Unmasked fast engine: invalid external actions never press an
+    under-filled container or a busy press."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 32
+    st = F.reset_batch(CFG, jax.random.PRNGKey(11), n)
+    key = jax.random.PRNGKey(12)
+
+    def body(carry, _):
+        st, key = carry
+        key, k1 = jax.random.split(key)
+        actions = jax.random.randint(k1, (n,), 0, 22)
+        st, out = jax.vmap(
+            lambda s, a: F.step_mono_external(CFG, s, a, False))(st, actions)
+        return (st, key), out.reward
+
+    (st_f, _), rew = jax.jit(
+        lambda c: lax.scan(body, c, None, length=100))((st, key))
+    # conservation still holds through the sanitize/skip path
+    in_sys = (
+        np.asarray(st_f.cont_true).sum(-1)
+        + np.asarray(st_f.cont_false).sum(-1)
+        + np.asarray(st_f.press_n).sum(-1)
+        + np.asarray(st_f.bale_size).sum((-1, -2))
+        + np.asarray(st_f.input_counts).sum(-1)
+        + np.asarray(st_f.belt_counts).sum(-1)
+    )
+    np.testing.assert_array_equal(in_sys, np.asarray(st_f.total_input_units))
+    # any loaded press must have been loaded with >= balesize units
+    n_arr = np.asarray(st_f.press_n)
+    assert ((n_arr == 0) | (n_arr >= CFG.effective_balesize)).all()
