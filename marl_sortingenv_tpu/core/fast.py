@@ -297,36 +297,38 @@ def _sort_material(cfg: SimConfig, st: FastEnvState):
 
 def _press_bale(cfg: SimConfig, st: FastEnvState, m, n, q,
                 pred) -> FastEnvState:
-    """Bale out (predicated): touches only the three bale leaves, and only
-    row ``m`` of the ring buffers — avoids whole-state selects on the hot
-    path (the buffers dominate state size)."""
+    """Bale out (predicated).  Written as full-(5, MAX) 2D masked updates
+    instead of row gather + scatter: under vmap the dynamic row
+    gather/scatter lowers to much more expensive code than a fused
+    row-mask select (measured: the press path dominated the step)."""
     bs = cfg.effective_balesize
     q_int = (q * 100.0).astype(I16)
     full = n // bs
     rem = (n % bs).astype(I16)
-    row_size = st.bale_size[m]
-    row_qual = st.bale_qual[m]
-    cnt = st.bale_cnt[m]
-    idx = jnp.arange(cfg.max_bales, dtype=I32)
-    new_mask = pred & (idx >= cnt) & (idx < cnt + full)
-    row_size = jnp.where(new_mask, I16(bs), row_size)
-    row_qual = jnp.where(new_mask, q_int, row_qual)
-    cnt = jnp.where(pred, cnt + full, cnt).astype(I32)
+    rows = jnp.arange(5, dtype=I32)[:, None]
+    lanes = jnp.arange(cfg.max_bales, dtype=I32)[None, :]
+    sel = pred & (rows == m)
+    cnt_m = st.bale_cnt[m]
+
+    new_mask = sel & (lanes >= cnt_m) & (lanes < cnt_m + full)
+    bale_size = jnp.where(new_mask, I16(bs), st.bale_size)
+    bale_qual = jnp.where(new_mask, q_int, st.bale_qual)
+    cnt2 = cnt_m + full
+
     big_rem = rem.astype(F32) > F32(bs) * F32(cfg.bale_remainder_threshold)
     has_rem = rem > 0
-    own = pred & has_rem & (big_rem | (cnt == 0))
-    app = own & (idx == cnt)
-    row_size = jnp.where(app, rem, row_size)
-    row_qual = jnp.where(app, q_int, row_qual)
-    merge = pred & has_rem & ~big_rem & (cnt > 0)
-    mm = merge & (idx == cnt - 1)
-    row_size = jnp.where(mm, row_size + rem, row_size)
-    cnt = (cnt + jnp.where(own, I32(1), I32(0))).astype(I32)
-    return st._replace(
-        bale_size=st.bale_size.at[m].set(row_size),
-        bale_qual=st.bale_qual.at[m].set(row_qual),
-        bale_cnt=st.bale_cnt.at[m].set(cnt),
-    )
+    own = has_rem & (big_rem | (cnt2 == 0))
+    app = sel & own & (lanes == cnt2)
+    bale_size = jnp.where(app, rem, bale_size)
+    bale_qual = jnp.where(app, q_int, bale_qual)
+    merge = has_rem & ~big_rem & (cnt2 > 0)
+    mm = sel & merge & (lanes == cnt2 - 1)
+    bale_size = jnp.where(mm, bale_size + rem, bale_size)
+    cnt3 = (cnt2 + jnp.where(own, I32(1), I32(0))).astype(I32)
+
+    bale_cnt = jnp.where(pred & (jnp.arange(5) == m), cnt3, st.bale_cnt)
+    return st._replace(bale_size=bale_size, bale_qual=bale_qual,
+                       bale_cnt=bale_cnt)
 
 
 def _check_press_status(cfg: SimConfig, st: FastEnvState) -> FastEnvState:
