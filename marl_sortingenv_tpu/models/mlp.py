@@ -115,6 +115,24 @@ def predict_deterministic(params: ACParams, obs, mask=None) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def load_sb3_zip(path: str) -> ACParams:
+    """``load_ppo_model`` equivalent (reference
+    ``utils/benchmark_models.py:190-192``) without requiring SB3: an SB3
+    ``.zip`` checkpoint stores the torch policy state dict in
+    ``policy.pth``; read it directly and convert."""
+    import io
+    import zipfile
+
+    import torch
+
+    with zipfile.ZipFile(path) as zf:
+        with zf.open("policy.pth") as f:
+            sd = torch.load(io.BytesIO(f.read()), map_location="cpu",
+                            weights_only=True)
+    return from_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")})
+
+
 def from_torch_state_dict(sd) -> ACParams:
     """Build ACParams from an SB3 policy ``state_dict`` (numpy-convertible
     mapping).  Keys follow SB3's MlpExtractor naming."""

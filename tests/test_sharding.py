@@ -106,3 +106,33 @@ def test_from_torch_state_dict():
                        + sd[f"mlp_extractor.policy_net.{i}.bias"])
     logits = h @ sd["action_net.weight"].T + sd["action_net.bias"]
     np.testing.assert_allclose(ours, logits.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_load_sb3_zip(tmp_path):
+    """SB3 .zip checkpoints store policy.pth; load without SB3 installed."""
+    import io
+    import zipfile
+
+    torch = __import__("torch")
+    g = torch.Generator().manual_seed(5)
+    sd = {}
+    for i in (0, 2):
+        for net in ("policy_net", "value_net"):
+            sd[f"mlp_extractor.{net}.{i}.weight"] = torch.randn(
+                32, 13 if i == 0 else 32, generator=g)
+            sd[f"mlp_extractor.{net}.{i}.bias"] = torch.randn(32, generator=g)
+    sd["action_net.weight"] = torch.randn(2, 32, generator=g)
+    sd["action_net.bias"] = torch.randn(2, generator=g)
+    sd["value_net.weight"] = torch.randn(1, 32, generator=g)
+    sd["value_net.bias"] = torch.randn(1, generator=g)
+
+    buf = io.BytesIO()
+    torch.save(sd, buf)
+    zpath = tmp_path / "PPO_Sorting_100000.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("policy.pth", buf.getvalue())
+
+    params = mlp.load_sb3_zip(str(zpath))
+    assert params.action.w.shape == (32, 2)
+    x = np.zeros((1, 13), np.float32)
+    assert np.isfinite(np.asarray(mlp.policy_logits(params, x))).all()
