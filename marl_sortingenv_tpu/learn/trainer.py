@@ -104,6 +104,11 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
             if m > best_eval:
                 best_eval = m
                 best_params = ts.params
+                if save_prefix:
+                    # durable best-so-far checkpoint: long runs killed by
+                    # external timeouts still yield their best model
+                    CK.save_model(best_params, f"{save_prefix}_best",
+                                  steps_done, models_dir)
             if verbose:
                 print(f"  [{variant}] {steps_done}/{total_timesteps} "
                       f"eval {m:.2f} (best {best_eval:.2f})")
