@@ -47,6 +47,7 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
                 save_prefix: Optional[str] = None,
                 pcfg: Optional[ppo.PPOConfig] = None,
                 logger: Optional[MetricsLogger] = None,
+                init_params: Optional[mlp.ACParams] = None,
                 verbose: bool = True) -> TrainResult:
     """``Train_Agent`` equivalent.  ``variant``: 'sort'|'press'|'mono'.
 
@@ -71,6 +72,10 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
         sort_policy = (mlp.policy_logits, sort_params)
 
     ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=n_envs, seed=seed)
+    if init_params is not None:
+        # warm start (fresh optimizer state): lets interrupted long runs
+        # continue from their durable best checkpoint
+        ts = ts._replace(params=init_params)
     it = ppo.make_train_iteration(cfg, pcfg, spec, sort_policy, masking)
 
     samples_per_iter = pcfg.n_steps * n_envs
