@@ -186,14 +186,29 @@ def benchmark_seed_all(cfg: SimConfig, seed: int, steps: int,
 def run_model_benchmark(cfg: SimConfig, num_seeds: int = 10, steps: int = 200,
                         sort_params=None, press_params=None, mono_params=None,
                         use_action_masking: bool = True,
-                        include_random: bool = True):
+                        include_random: bool = True,
+                        print_table: bool = False):
     """Mean/std per policy over seeds 1..num_seeds
-    (benchmark_models.py:19-119).  Returns {policy: {mean, std}}."""
+    (benchmark_models.py:19-119).  Returns {policy: {mean, std}}.
+    ``print_table`` prints the per-seed lines and the pandas summary the
+    reference prints (benchmark_models.py:26-47, 176-181)."""
     rows: List[Dict[str, float]] = []
+    if print_table:
+        header = "Seed\t    Random\tRule-Based\t Sort-Only\t   Modular\t  Monolith"
+        print(f"\n⚙ Running benchmark sequentially across {num_seeds} seeds...\n")
+        print(header)
+        print("-" * (len(header) + 20))
     for seed in range(1, num_seeds + 1):
-        rows.append(benchmark_seed_all(
+        row = benchmark_seed_all(
             cfg, seed, steps, sort_params, press_params, mono_params,
-            use_action_masking, include_random))
+            use_action_masking, include_random)
+        rows.append(row)
+        if print_table:
+            line = f"  {seed: >4}"
+            for key in POLICY_KEYS:
+                val = row.get(key)
+                line += f"\t{val: >10.2f}" if val is not None else "\t       N/A"
+            print(line)
     summary = {}
     for key in POLICY_KEYS:
         vals = [r[key] for r in rows if key in r]
@@ -201,4 +216,16 @@ def run_model_benchmark(cfg: SimConfig, num_seeds: int = 10, steps: int = 200,
             summary[key] = {
                 "mean": float(np.mean(vals)), "std": float(np.std(vals))
             }
+    if print_table and summary:
+        try:
+            import pandas as pd
+
+            df = pd.DataFrame(summary).T
+            df.index.name = "Policy"
+            print("\n" + "=" * 80)
+            print("Summary of Benchmark Results:")
+            print(df.to_string(float_format="%.2f"))
+            print("=" * 80)
+        except ImportError:
+            pass
     return summary, rows
