@@ -386,7 +386,8 @@ def use_press(cfg: SimConfig, st: EnvState, press, m) -> Tuple[jax.Array, EnvSta
         0.0,
     )
 
-    press_time = jnp.where(press == 1, cfg.press_time_1, cfg.press_time_2)
+    press_time = jnp.where(press == 1, cfg.press_time_1,
+                           cfg.press_time_2).astype(I32)
     started = st._replace(
         last_press_started=jnp.ones_like(st.last_press_started),
         last_press_amount=total.astype(I32),

@@ -278,7 +278,9 @@ def _sort_material(cfg: SimConfig, st: FastEnvState):
         removed = _mvhg4(sk, leftover, false_val)
         leftover = leftover - removed
 
-    e_input = leftover.sum()
+    # note: under x64 (parity mode active in the same process) jnp.sum
+    # promotes i32 -> i64; keep container updates i32
+    e_input = leftover.sum().astype(I32)
     cont_true = st.cont_true.at[:4].add(true_arr)
     cont_true = cont_true.at[4].add(e_input)
     purity = jnp.where(
@@ -364,7 +366,8 @@ def _use_press(cfg: SimConfig, st: FastEnvState, press, m,
     quality = jnp.where(
         (m < 4) & (total > 0),
         true_m.astype(F32) / jnp.maximum(total, 1).astype(F32), 0.0)
-    press_time = jnp.where(press == 1, cfg.press_time_1, cfg.press_time_2)
+    press_time = jnp.where(press == 1, cfg.press_time_1,
+                           cfg.press_time_2).astype(I32)
     clear_true = go & (jnp.arange(5) == m)
     clear_false = go & (m < 4) & (jnp.arange(4) == jnp.minimum(m, 3))
     return st._replace(
