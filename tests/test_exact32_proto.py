@@ -1,0 +1,116 @@
+"""Soft-float prototype (exact32 groundwork): exhaustive/randomized
+equivalence with IEEE f64 over the reachable domain."""
+
+import math
+import random
+
+import numpy as np
+
+from marl_sortingenv_tpu.core import exact32_proto as X
+
+
+def test_div_int_exhaustive():
+    for b in range(1, 701):
+        for a in range(0, b + 1):
+            got = X.sf_to_float(X.sf_div_int(a, b))
+            exp = np.float64(a) / np.float64(b)
+            assert got == exp, (a, b, got, exp)
+
+
+def test_div_int_gt_one():
+    for b in range(1, 50):
+        for a in range(b, 400):
+            got = X.sf_to_float(X.sf_div_int(a, b))
+            exp = np.float64(a) / np.float64(b)
+            assert got == exp, (a, b)
+
+
+def test_add_randomized():
+    rng = random.Random(0)
+    vals = []
+    for _ in range(4000):
+        b = rng.randint(1, 700)
+        a = rng.randint(0, b)
+        vals.append(X.sf_div_int(a, b))
+    for _ in range(200000):
+        x = rng.choice(vals)
+        y = rng.choice(vals)
+        got = X.sf_to_float(X.sf_add(x, y))
+        exp = np.float64(X.sf_to_float(x)) + np.float64(X.sf_to_float(y))
+        assert got == exp, (x, y, got, exp)
+
+
+def test_add_adversarial_alignment():
+    # pairs with large exponent gaps, carries, ties
+    cases = []
+    for ea in range(-60, 1, 7):
+        for eb in range(-60, 1, 7):
+            for ma in (X.MLOW, X.MLOW + 1, X.MHIGH - 1, X.MLOW + 12345):
+                for mb in (X.MLOW, X.MHIGH - 1, X.MLOW + 7):
+                    cases.append((X.SF(ma, ea), X.SF(mb, eb)))
+    for x, y in cases:
+        got = X.sf_to_float(X.sf_add(x, y))
+        exp = np.float64(X.sf_to_float(x)) + np.float64(X.sf_to_float(y))
+        assert got == exp, (x, y)
+
+
+def test_sf_div_randomized():
+    rng = random.Random(1)
+    vals = []
+    for _ in range(3000):
+        b = rng.randint(1, 700)
+        a = rng.randint(1, b)
+        vals.append(X.sf_div_int(a, b))
+    for _ in range(100000):
+        x = rng.choice(vals)
+        y = rng.choice(vals)
+        got = X.sf_to_float(X.sf_div(x, y))
+        exp = np.float64(X.sf_to_float(x)) / np.float64(X.sf_to_float(y))
+        assert got == exp, (x, y, got, exp)
+
+
+def test_choice_pipeline_matches_f64_reference():
+    """Full Generator.choice(p=...) decision replicated in integers:
+    p_j = a_j/T (f64-rounded), cdf = sequential sums, cdf /= cdf[-1],
+    idx = count(cdf <= u*2^-53) — compared against the numpy-f64 version
+    for random avail vectors and raw draws."""
+    rng = random.Random(2)
+    for trial in range(20000):
+        avail = [rng.randint(0, 100) for _ in range(4)]
+        if sum(avail) == 0:
+            avail[rng.randrange(4)] = 1
+        T = sum(avail)
+        u_raw = rng.getrandbits(53)
+
+        # f64 reference (NumPy semantics, as core.rng.choice_p)
+        p = [np.float64(a) / np.float64(T) for a in avail]
+        acc = p[0]
+        cdf = [acc]
+        for j in range(1, 4):
+            acc = acc + p[j]
+            cdf.append(acc)
+        cdfn = [c / cdf[-1] for c in cdf]
+        u = np.float64(u_raw) * np.float64(2.0 ** -53)
+        idx_ref = sum(1 for c in cdfn if c <= u)
+
+        # integer-exact pipeline
+        ps = [X.sf_div_int(a, T) for a in avail]
+        acc = ps[0]
+        cdfs = [acc]
+        for j in range(1, 4):
+            acc = X.sf_add(acc, ps[j])
+            cdfs.append(acc)
+        last = cdfs[-1]
+        cdfsn = [X.sf_div(c, last) if c.m else X.sf_zero() for c in cdfs]
+        idx_got = sum(1 for c in cdfsn if X.sf_cmp_le_u53(c, u_raw))
+
+        assert idx_got == idx_ref, (avail, u_raw, idx_got, idx_ref)
+
+
+def test_round_half_even_mul_matches_reference_formula():
+    # acc = 0.75 (noise=0 boosted-off) and acc = 1.0
+    for t in range(0, 101):
+        exp = int(round(t * 0.75))
+        got = X.round_half_even_mul(t, 3, 4)
+        assert got == exp, t
+        assert X.round_half_even_mul(t, 1, 1) == t
