@@ -176,3 +176,91 @@ def round_half_even_mul(t: int, num: int, den: int) -> int:
     if r2 > den or (r2 == den and (q & 1)):
         return q + 1
     return q
+
+
+def sf_sub_from_one(y: "SF") -> "SF":
+    """Correctly-rounded f64 of 1.0 - value(y), for y in (0, 1]."""
+    if y.m == 0:
+        return SF(MLOW, -52 + 0)  # 1.0 = 2^52 * 2^-52
+    # 1.0 = 2^-e_y-aligned integer minus m_y, then normalize + round
+    # work in units of 2^(y.e): one = 2^-y.e
+    d = -y.e  # >= 52 for y <= 1
+    if d > 110:
+        return SF(MLOW, -52)  # 1 - tiny rounds to 1 for d > 54; guard wide
+    one = 1 << d
+    diff = one - y.m  # exact integer, value = diff * 2^(y.e)
+    if diff == 0:
+        return sf_zero()
+    # normalize diff to [2^52, 2^53) with round-half-even on dropped bits
+    e = y.e
+    while diff >= MHIGH:
+        # need rounding of dropped bits
+        drop = 0
+        sticky = 0
+        while diff >= MHIGH:
+            sticky |= diff & 1
+            if drop == 0:
+                guard = diff & 1
+            # collect guard progressively: simpler exact path below
+            diff >>= 1
+            e += 1
+            drop += 1
+        # redo exactly: recompute with remainder
+        one = 1 << d
+        diff_full = one - y.m
+        rem = diff_full - (diff << drop)
+        den = 1 << drop
+        diff = _round_half_even(diff, 2 * rem, den)
+        if diff == MHIGH:
+            diff >>= 1
+            e += 1
+        break
+    while diff < MLOW:
+        diff <<= 1
+        e -= 1
+    return SF(diff, e)
+
+
+def sf_cents(x: "SF") -> int:
+    """``int(rint(f64(value(x) * 100)))`` — np_round2's numerator.
+
+    NumPy first rounds the f64 *product* x*100 (so e.g. f64(1/40)*100
+    rounds to exactly 2.5 although the exact product is above it), then
+    rint half-even.  Reproduce both roundings."""
+    if x.m == 0:
+        return 0
+    # 1) f64-round the product m*100 (59-bit) to a 53-bit mantissa
+    p = x.m * 100
+    shift = p.bit_length() - 53
+    pm = p >> shift
+    rem = p - (pm << shift)
+    pm = _round_half_even(pm, 2 * rem, 1 << shift)
+    if pm == MHIGH:
+        pm >>= 1
+        shift += 1
+    e = x.e + shift  # product = pm * 2^e
+    # 2) rint half-even to an integer
+    if e >= 0:
+        return pm << e
+    s2 = -e
+    q = pm >> s2
+    rem = pm - (q << s2)
+    return _round_half_even(q, 2 * rem, 1 << s2)
+
+
+def sf_to_f32(x: "SF") -> float:
+    """f32(value(x)): round the 53-bit mantissa to 24 bits half-even —
+    identical to numpy's f64->f32 cast of the correctly-rounded f64."""
+    import math
+
+    if x.m == 0:
+        return 0.0
+    drop = 53 - 24
+    q = x.m >> drop
+    rem = x.m - (q << drop)
+    den = 1 << drop
+    q = _round_half_even(q, 2 * rem, den)
+    if q == 1 << 24:
+        q = 1 << 23
+        return math.ldexp(q, x.e + drop + 1)
+    return math.ldexp(q, x.e + drop)

@@ -114,3 +114,42 @@ def test_round_half_even_mul_matches_reference_formula():
         got = X.round_half_even_mul(t, 3, 4)
         assert got == exp, t
         assert X.round_half_even_mul(t, 1, 1) == t
+
+
+def test_sub_from_one():
+    rng = random.Random(3)
+    for _ in range(100000):
+        b = rng.randint(1, 700)
+        a = rng.randint(0, b)
+        y = X.sf_div_int(a, b)
+        got = X.sf_to_float(X.sf_sub_from_one(y))
+        exp = np.float64(1.0) - np.float64(X.sf_to_float(y))
+        assert got == exp, (a, b, got, exp)
+
+
+def test_cents_matches_np_round2_numerator():
+    for total in range(1, 701):
+        for true in range(0, total + 1):
+            sf = X.sf_div_int(true, total)
+            got = X.sf_cents(sf)
+            exp = int(np.rint(np.float64(true) / np.float64(total) * 100.0))
+            assert got == exp, (true, total)
+
+
+def test_diff_cents_identity():
+    # round(np.float64(k/100 - 0.9), 2) == (k-90)/100 for all cents k
+    for k in range(0, 101):
+        p = np.float64(np.rint(np.float64(k) / 100.0 * 100.0)) / 100.0
+        d = round(np.float64(p - 0.9), 2)
+        assert d == np.float64(k - 90) / 100.0, k
+
+
+def test_sf_to_f32_matches_numpy_cast():
+    rng = random.Random(4)
+    for _ in range(100000):
+        b = rng.randint(1, 700)
+        a = rng.randint(0, b)
+        sf = X.sf_div_int(a, b)
+        got = np.float32(X.sf_to_f32(sf))
+        exp = np.float32(np.float64(a) / np.float64(b))
+        assert got == exp, (a, b)
