@@ -1,0 +1,383 @@
+"""TPU-exact dynamics overlay: bit-exact trajectories without trusting
+hardware f64 (docs/EXACT32_DESIGN.md).
+
+Reuses the parity engine's state machine (``dynamics.py`` — integer
+plant, PCG64 streams) and replaces every computation whose result depends
+on *hardware* f64 rounding with the integer soft-float kernel
+(``softfloat.py``), valid for the reference benchmark configuration
+``noise_sorting = 0`` (main.py:42):
+
+* ``choice(p=...)`` in the redistribution loop -> soft-float cdf pipeline
+* the sorting true/false split -> exact banker's rounding of ``t*3/4``
+  (accuracies are exactly {0.75, 1.0} at noise 0)
+* occupancy / purity / quality round2 -> integer cents
+* observations -> exact f32 from cents tables and soft-float divisions
+
+State convention difference (documented): ``input_occupancy``,
+``belt_occupancy`` and ``press_q`` store *cents* (e.g. 67.0 instead of
+0.67) so that no stored f64 value carries information below the 49-bit
+TPU precision.  ``to_parity_view`` converts for comparisons.
+
+On CPU this engine must agree **bit-for-bit** with the parity engine
+(tests); on TPU it is the engine that makes the BASELINE parity claim
+hold on-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import dynamics as D
+from . import rng as R
+from . import softfloat as SF
+from .state import EnvState
+from ..config.config import SimConfig
+
+I32 = jnp.int32
+F32 = jnp.float32
+U64 = jnp.uint64
+
+# f32 lookup tables: index k -> np.float32(np.float64(k) / den).  Built by
+# NumPy itself, so they are authoritative for the reference's f64->f32
+# casts whatever the accelerator's float hardware does.
+_T100 = jnp.asarray((np.arange(501, dtype=np.float64) / 100.0
+                     ).astype(np.float32))
+_T700 = jnp.asarray((np.arange(24001, dtype=np.float64) / 700.0
+                     ).astype(np.float32))
+_T12 = jnp.asarray((np.arange(13, dtype=np.float64) / 12.0
+                    ).astype(np.float32))
+_T15 = jnp.asarray((np.arange(16, dtype=np.float64) / 15.0
+                    ).astype(np.float32))
+# purity diffs: cents-90 in [-90, 10] -> f32((k-90)/100): reuse _T100 via
+# sign split (f32(-x) == -f32(x) exactly)
+
+
+def _f32_cents(k):
+    """f32 of k/100 from the table (k in [-500, 500], integer)."""
+    neg = k < 0
+    v = _T100[jnp.abs(k)]
+    return jnp.where(neg, -v, v)
+
+
+def choice_p_exact(g: R.PCG64State, avail) -> Tuple[jax.Array, R.PCG64State]:
+    """Bit-exact ``Generator.choice(4, p=avail/total)`` without hardware
+    f64 (replicates core.rng.choice_p's f64 decisions in integers)."""
+    T = avail.sum().astype(I32)
+    ps = [SF.sf_div_int(avail[j].astype(U64), T.astype(U64)) for j in range(4)]
+    acc = ps[0]
+    cdf = [acc]
+    for j in range(1, 4):
+        acc = SF.sf_add(acc, ps[j])
+        cdf.append(acc)
+    last = cdf[3]
+    raw, g = R.next_uint64(g)
+    u = raw >> U64(11)
+    idx = jnp.zeros((), I32)
+    for j in range(4):
+        cn = SF.sf_div(cdf[j], last)
+        idx = idx + SF.sf_cmp_le_u53(cn, u).astype(I32)
+    return idx, g
+
+
+def _split_counts(cfg: SimConfig, target, boosted):
+    """true_val = int(round(target * acc)) with acc in {0.75, 1.0} — pure
+    integers (env_super.py:539 at noise 0; 1.25 clips to 1.0)."""
+    # acc = 3/4 when not boosted, 1 when boosted
+    p = target.astype(jnp.int64) * 3
+    q, r = p // 4, p % 4
+    r2 = 2 * r
+    up = (r2 > 4) | ((r2 == 4) & ((q & 1) == 1))
+    t075 = (q + up.astype(jnp.int64)).astype(I32)
+    return jnp.where(boosted, target, t075)
+
+
+def sort_material_exact(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
+    """Exact-mode sort_material: integer split + exact weighted choice.
+    Mean purity returned as *cents* (i32)."""
+    total_input = st.sort_counts.sum()
+    leftover = st.sort_counts
+    true_arr = jnp.zeros(4, I32)
+    false_arr = jnp.zeros(4, I32)
+    g = st.rng
+    # the sorter runs on the DELAYED accuracies (acc_sorter = previous
+    # step's acc_belt, env_super.py:457): at noise 0 these are exactly
+    # 0.75 (unboosted) or 1.0 (boosted+clipped)
+    boost_mask = st.acc_sorter >= 0.875
+
+    for i in range(4):
+        target = leftover[i]
+        true_val = _split_counts(cfg, target, boost_mask[i])
+        false_val = target - true_val
+        true_arr = true_arr.at[i].set(true_val)
+        false_arr = false_arr.at[i].set(false_val)
+        leftover = leftover.at[i].set(false_val)
+
+        def cond(c):
+            k, leftover, g = c
+            return jnp.any((k < false_val) & (leftover.sum() > 0))
+
+        def body(c):
+            k, leftover, g = c
+            active = (k < false_val) & (leftover.sum() > 0)
+            sel, g2 = choice_p_exact(g, leftover)
+            leftover2 = leftover.at[sel].add(I32(-1))
+            g3 = jax.tree.map(lambda a, b: jnp.where(active, b, a), g, g2)
+            return (
+                jnp.where(active, k + 1, k),
+                jnp.where(active, leftover2, leftover),
+                g3,
+            )
+
+        _, leftover, g = lax.while_loop(cond, body, (I32(0), leftover, g))
+
+    e_input = leftover.sum().astype(I32)
+    cont_true = st.cont_true.at[:4].add(true_arr)
+    cont_true = cont_true.at[4].add(e_input)
+
+    # mean purity cents: np_round2(1 - (total-true)/total)
+    ratio = SF.sf_div_int(
+        (total_input - true_arr.sum()).clip(0).astype(U64),
+        jnp.maximum(total_input, 1).astype(U64))
+    purity_cents = jnp.where(
+        total_input > 0, SF.sf_cents(SF.sf_sub_from_one(ratio)).astype(I32),
+        I32(0))
+
+    st = st._replace(cont_true=cont_true, cont_false=st.cont_false + false_arr,
+                     rng=g)
+    return purity_cents, st
+
+
+def update_accuracy_exact(cfg: SimConfig, st: EnvState) -> EnvState:
+    """noise = 0: the 4 uniform draws are consumed (stream parity) but the
+    values are exactly 0; accuracies are {0.75, 1.0} after the clip."""
+    g = st.rng_noise
+    for _ in range(4):
+        _, g = R.next_uint64(g)
+    base = jnp.asarray(cfg.baseline_accuracy, jnp.float64)
+    boost_ac = jnp.array([cfg.boost, 0.0, cfg.boost, 0.0], jnp.float64)
+    boost_bd = jnp.array([0.0, cfg.boost, 0.0, cfg.boost], jnp.float64)
+    acc = base + jnp.where(st.sensor_setting == 0, boost_ac,
+                           jnp.where(st.sensor_setting == 1, boost_bd, 0.0))
+    acc = jnp.clip(acc, 0.0, 1.0)
+    return st._replace(acc_belt=acc, rng_noise=g)
+
+
+def update_environment_exact(cfg: SimConfig, st: EnvState) -> EnvState:
+    """Material flow with occupancy stored as cents."""
+    st = st._replace(
+        sort_counts=st.belt_counts,
+        belt_counts=st.input_counts,
+        belt_occupancy=st.input_occupancy,  # cents flow through
+    )
+    counts, st = D.generate_input(cfg, st)
+    # occupancy cents: py_round2(k/100) == k cents for k <= 400 (tested)
+    occupancy_cents = counts.sum().astype(jnp.float64)
+    return st._replace(
+        input_counts=counts,
+        input_occupancy=occupancy_cents,
+        acc_sorter=st.acc_belt,
+        total_input_units=(st.total_input_units + counts.sum()).astype(I32),
+    )
+
+
+def container_purity_cents(cfg: SimConfig, st: EnvState) -> jax.Array:
+    """np_round2(true/(true+false)) in cents; empty -> threshold cents."""
+    total = st.cont_true[:4] + st.cont_false
+    cents = jax.vmap(
+        lambda a, b: SF.sf_cents(SF.sf_div_int(a, b)))(
+        st.cont_true[:4].astype(U64), jnp.maximum(total, 1).astype(U64)
+    ).astype(I32)
+    thr = I32(int(round(cfg.quality_threshold * 100)))
+    return jnp.where(total > 0, cents, thr)
+
+
+def get_sort_obs_exact(cfg: SimConfig, st: EnvState) -> jax.Array:
+    total = st.belt_counts.sum()
+    props = jax.vmap(
+        lambda a: SF.sf_to_f32(SF.sf_div_int(a, jnp.maximum(total, 1).astype(U64))))(
+        st.belt_counts.astype(U64))
+    props = jnp.where(total > 0, props, jnp.float32(0))
+    diffs = _f32_cents(container_purity_cents(cfg, st) - I32(90))
+    occ = _f32_cents(st.belt_occupancy.astype(I32))
+    obs = jnp.concatenate(
+        [occ[None], props, st.acc_belt.astype(F32), diffs])
+    return jnp.clip(obs, -1.0, 1.0)
+
+
+def get_press_obs_exact(cfg: SimConfig, st: EnvState) -> jax.Array:
+    levels = jnp.concatenate(
+        [st.cont_true[:4] + st.cont_false, st.cont_true[4:5]])
+    lv = _T700[levels.clip(0, 24000)]
+    sorter = _T100[st.sort_counts.clip(0, 500)]
+    t1 = _T12[st.press_timer[0].clip(0, 12)]
+    t2 = _T15[st.press_timer[1].clip(0, 15)]
+    obs = jnp.concatenate([lv, lv, sorter, jnp.stack([t1, t2])])
+    return jnp.clip(obs, 0.0, 1.0)
+
+
+def get_mono_obs_exact(cfg: SimConfig, st: EnvState) -> jax.Array:
+    return jnp.concatenate(
+        [get_sort_obs_exact(cfg, st), get_press_obs_exact(cfg, st)])
+
+
+def use_press_exact(cfg: SimConfig, st: EnvState, press, m) -> Tuple[jax.Array, EnvState]:
+    """use_press with quality stored as cents."""
+    p = press - 1
+    busy = st.press_timer[p] > 0
+    total = D._container_level(st, m)
+    true_m = jnp.where(m < 4, st.cont_true[m], total)
+    q_cents = jnp.where(
+        (m < 4) & (total > 0),
+        SF.sf_cents(SF.sf_div_int(
+            true_m.astype(U64), jnp.maximum(total, 1).astype(U64))).astype(I32),
+        I32(0),
+    )
+    press_time = jnp.where(press == 1, cfg.press_time_1,
+                           cfg.press_time_2).astype(I32)
+    started = st._replace(
+        last_press_started=jnp.ones_like(st.last_press_started),
+        last_press_amount=total.astype(I32),
+        cont_true=st.cont_true.at[m].set(0),
+        cont_false=jnp.where(
+            (m < 4) & (jnp.arange(4) == jnp.minimum(m, 3)), 0, st.cont_false),
+        press_timer=st.press_timer.at[p].set(press_time),
+        press_mat=st.press_mat.at[p].set(m),
+        press_n=st.press_n.at[p].set(total.astype(I32)),
+        press_q=st.press_q.at[p].set(q_cents.astype(jnp.float64)),
+    )
+    blocked = st._replace(press_penalty_flag=jnp.ones_like(st.press_penalty_flag))
+    st = jax.tree.map(lambda a, b: jnp.where(busy, a, b), blocked, started)
+    code = jnp.where(busy, jnp.where(press == 1, 111, 222),
+                     (press - 1) * 5 + m + 1)
+    return code.astype(I32), st
+
+
+def bale_quality_int_exact(q_cents) -> jax.Array:
+    """``int(q * 100)`` where q is the f64 of cents/100: trunc of the
+    f64-rounded product — both roundings replicated in integers."""
+    c = q_cents.astype(I32)
+    x = SF.sf_div_int(c.astype(U64), U64(100))
+    # product f64-round then trunc
+    p = x.m * U64(100)
+    bl = SF._bitlen(p)
+    shift = (bl - 53).clip(0).astype(U64)
+    pm = p >> shift
+    rem = p - (pm << shift)
+    pm = SF._round_half_even(pm, rem, U64(1) << shift)
+    ovf = pm == SF.MHIGH
+    pm = jnp.where(ovf, pm >> U64(1), pm)
+    shift = shift + ovf.astype(U64)
+    e = x.e + shift.astype(I32)
+    neg = e < 0
+    s2 = jnp.where(neg, -e, 0).astype(U64).clip(0, 63)
+    q_out = jnp.where(neg, pm >> s2, pm << e.clip(0).astype(U64))
+    return jnp.where(x.m == U64(0), I32(0), q_out.astype(I32))
+
+
+def _press_bale_exact(cfg: SimConfig, st: EnvState, m, n, q_cents) -> EnvState:
+    """press_bale with the exact trunc quality."""
+    q_int = bale_quality_int_exact(q_cents)
+    bs = cfg.effective_balesize
+    full = n // bs
+    rem = n % bs
+    rows = jnp.arange(5, dtype=I32)[:, None]
+    lanes = jnp.arange(cfg.max_bales, dtype=I32)[None, :]
+    sel = rows == m
+    cnt_m = st.bale_cnt[m]
+    new_mask = sel & (lanes >= cnt_m) & (lanes < cnt_m + full)
+    bale_size = jnp.where(new_mask, bs, st.bale_size)
+    bale_qual = jnp.where(new_mask, q_int, st.bale_qual)
+    cnt2 = cnt_m + full
+    big_rem = rem.astype(jnp.float64) > jnp.float64(
+        bs * cfg.bale_remainder_threshold)
+    has_rem = rem > 0
+    own = has_rem & (big_rem | (cnt2 == 0))
+    app = sel & own & (lanes == cnt2)
+    bale_size = jnp.where(app, rem, bale_size)
+    bale_qual = jnp.where(app, q_int, bale_qual)
+    merge = has_rem & ~big_rem & (cnt2 > 0)
+    mm = sel & merge & (lanes == cnt2 - 1)
+    bale_size = jnp.where(mm, bale_size + rem, bale_size)
+    cnt3 = (cnt2 + jnp.where(own, I32(1), I32(0))).astype(I32)
+    bale_cnt = jnp.where((jnp.arange(5) == m), cnt3, st.bale_cnt)
+    return st._replace(bale_size=bale_size, bale_qual=bale_qual,
+                       bale_cnt=bale_cnt)
+
+
+def check_press_status_exact(cfg: SimConfig, st: EnvState) -> EnvState:
+    for p in range(2):
+        busy = st.press_timer[p] > 0
+        timer = jnp.where(busy, st.press_timer[p] - 1, st.press_timer[p])
+        done = busy & (timer == 0)
+        baled = _press_bale_exact(cfg, st, st.press_mat[p], st.press_n[p],
+                                  st.press_q[p])
+        st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, baled)
+        st = st._replace(
+            press_timer=st.press_timer.at[p].set(timer),
+            press_mat=st.press_mat.at[p].set(jnp.where(done, 0, st.press_mat[p])),
+            press_n=st.press_n.at[p].set(jnp.where(done, 0, st.press_n[p])),
+            press_q=st.press_q.at[p].set(jnp.where(done, 0.0, st.press_q[p])),
+        )
+    return st
+
+
+def press_action_rules_exact(cfg: SimConfig, st: EnvState, press_id, m):
+    st = check_press_status_exact(cfg, st)
+    code, used = use_press_exact(cfg, st, jnp.maximum(press_id, 1), m)
+    noop = press_id == 0
+    st = jax.tree.map(lambda a, b: jnp.where(noop, a, b), st, used)
+    return jnp.where(noop, 0, code).astype(I32), st
+
+
+# ---------------------------------------------------------------------------
+# Step (rule-based monolith — the benchmark's closed loop) and helpers
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def step_mono_rule_exact(cfg: SimConfig, st: EnvState):
+    """Exact-mode equivalent of core.step.step_mono_rule."""
+    st = D.input_action_rules(cfg, st)
+    st = update_environment_exact(cfg, st)
+    sort_mode = D.sorting_rules(st)
+    press_id, mat = D.check_container_level(cfg, st)
+
+    st = st._replace(sensor_setting=jnp.asarray(sort_mode, I32))
+    st = update_accuracy_exact(cfg, st)
+    purity_cents, st = sort_material_exact(cfg, st)
+    log, st = press_action_rules_exact(cfg, st, press_id, mat)
+
+    obs = get_mono_obs_exact(cfg, st)
+    st = st._replace(current_step=st.current_step + 1)
+    terminated = st.current_step >= cfg.max_steps
+    flat = sort_mode * 11 + jnp.where(press_id == 0, 0,
+                                      (press_id - 1) * 5 + mat + 1)
+    return st, {
+        "obs": obs,
+        "terminated": terminated,
+        "action": flat.astype(I32),
+        "purity_cents": purity_cents,
+        "press_log": log,
+    }
+
+
+def to_parity_view(st: EnvState) -> dict:
+    """Convert exact-mode state fields (cents) to parity-engine units for
+    comparisons (host-side)."""
+    return {
+        "cont_true": np.asarray(st.cont_true),
+        "cont_false": np.asarray(st.cont_false),
+        "press_timer": np.asarray(st.press_timer),
+        "press_n": np.asarray(st.press_n),
+        "press_q_cents": np.asarray(st.press_q),
+        "input_occupancy_cents": np.asarray(st.input_occupancy),
+        "bale_size": np.asarray(st.bale_size),
+        "bale_qual": np.asarray(st.bale_qual),
+        "bale_cnt": np.asarray(st.bale_cnt),
+        "current_step": np.asarray(st.current_step),
+    }

@@ -1,0 +1,76 @@
+"""Exact-mode engine (TPU-safe integer soft-float) vs the parity engine:
+bit-for-bit agreement on CPU over full rule-based episodes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from marl_sortingenv_tpu.config.config import load_config
+from marl_sortingenv_tpu.core import exact_dynamics as XD
+from marl_sortingenv_tpu.core import state as S, step as ST
+
+CFG = load_config(max_steps=200, noise_sorting=0.0, balesize=200)
+
+
+def run_parity(seed, steps):
+    st = S.reset(CFG, seed)
+
+    def body(st, _):
+        st, out = ST.step_mono_rule(CFG, st)
+        return st, (out.obs, out.action, out.purity)
+
+    return jax.jit(lambda st: lax.scan(body, st, None, length=steps))(st)
+
+
+def run_exact(seed, steps):
+    st = S.reset(CFG, seed)
+
+    def body(st, _):
+        st, out = XD.step_mono_rule_exact(CFG, st)
+        return st, (out["obs"], out["action"], out["purity_cents"])
+
+    return jax.jit(lambda st: lax.scan(body, st, None, length=steps))(st)
+
+
+def test_exact_engine_matches_parity_engine_bitwise():
+    for seed in (42, 7, 123):
+        steps = 150
+        stp, (obs_p, act_p, pur_p) = run_parity(seed, steps)
+        stx, (obs_x, act_x, pur_x) = run_exact(seed, steps)
+
+        np.testing.assert_array_equal(np.asarray(act_x), np.asarray(act_p),
+                                      err_msg=f"seed {seed}")
+        # obs must agree bit-for-bit (f32)
+        np.testing.assert_array_equal(
+            np.asarray(obs_x).view(np.uint32),
+            np.asarray(obs_p).view(np.uint32), err_msg=f"seed {seed}")
+        # purity: parity engine reports f64 two-decimal; exact reports cents
+        np.testing.assert_array_equal(
+            np.asarray(pur_x),
+            np.rint(np.asarray(pur_p) * 100).astype(np.int32))
+        # state: integer fields identical
+        for f in ("cont_true", "cont_false", "press_timer", "press_n",
+                  "bale_cnt"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(stx, f)), np.asarray(getattr(stp, f)),
+                err_msg=f"{f} seed {seed}")
+        cnts = np.asarray(stx.bale_cnt)
+        for row in range(5):
+            n = int(cnts[row])
+            np.testing.assert_array_equal(
+                np.asarray(stx.bale_size)[row][:n],
+                np.asarray(stp.bale_size)[row][:n])
+            np.testing.assert_array_equal(
+                np.asarray(stx.bale_qual)[row][:n],
+                np.asarray(stp.bale_qual)[row][:n])
+        # press_q: cents vs fraction
+        np.testing.assert_array_equal(
+            np.asarray(stx.press_q),
+            np.rint(np.asarray(stp.press_q) * 100))
+        # RNG streams advanced identically
+        np.testing.assert_array_equal(
+            np.asarray(stx.rng.state_lo), np.asarray(stp.rng.state_lo))
+        np.testing.assert_array_equal(
+            np.asarray(stx.rng_noise.state_lo),
+            np.asarray(stp.rng_noise.state_lo))
