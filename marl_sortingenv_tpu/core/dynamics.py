@@ -15,6 +15,7 @@ actual reference implementation).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -580,13 +581,33 @@ def get_mono_obs(cfg: SimConfig, st: EnvState) -> jax.Array:
 # Rewards (env_super.py:963-1080)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
+def _sorting_table(cfg: SimConfig):
+    from . import reward_tables as RT
+
+    try:
+        return RT.build_sorting_table(cfg)
+    except AssertionError:
+        return None  # off-grid threshold: fall back to device tanh
+
+
 def calculate_sorting_reward(cfg: SimConfig, st: EnvState) -> jax.Array:
     """tanh(mean(purity - theta) * 2.0 / 0.5) (env_super.py:963-1003).
     The score accumulates sequentially in material order, as the
-    reference's ``+=`` loop does (f64 addition is order-sensitive)."""
+    reference's ``+=`` loop does (f64 addition is order-sensitive).
+
+    The final ``np.tanh`` is resolved through an exact host-built lookup
+    table (``reward_tables.build_sorting_table``): the score set is
+    finite (1770 values in the default config), so the reward is NumPy's
+    own tanh output, bit-for-bit — no device transcendental."""
     purities = container_purities(cfg, st)
     diffs = purities - F64(cfg.purity_threshold_theta)
     score = ((diffs[0] + diffs[1]) + diffs[2]) + diffs[3]
+    tab = _sorting_table(cfg)
+    if tab is not None:
+        k = jnp.searchsorted(jnp.asarray(tab.scores), score)
+        k = jnp.clip(k, 0, tab.rewards.size - 1)
+        return jnp.asarray(tab.rewards)[k]
     raw = (score / 4.0) * F64(cfg.purity_scaling_factor)
     return jnp.tanh(raw / F64(cfg.tanh_temperature))
 

@@ -284,3 +284,127 @@ def sf_to_f32(x: SFJ) -> jax.Array:
     q, e = sf_to_f32_parts(x)
     val = jnp.ldexp(q.astype(jnp.float32), e)
     return jnp.where(x.m == U64(0), jnp.float32(0), val)
+
+
+# ---------------------------------------------------------------------------
+# Signed layer: SFS = (sign, magnitude) for exact reward arithmetic.
+# Rewards mix signs (penalties vs bonuses), so the exact engine needs
+# correctly-rounded signed add.  Magnitudes stay in the SFJ domain.
+# ---------------------------------------------------------------------------
+
+class SFS(NamedTuple):
+    s: jax.Array  # i32 in {-1, 0, +1} (0 iff magnitude is zero)
+    m: jax.Array  # u64 as SFJ
+    e: jax.Array  # i32 as SFJ
+
+
+def sfs_zero():
+    return SFS(jnp.zeros((), I32), jnp.zeros((), U64), jnp.zeros((), I32))
+
+
+def sfs_from_parts(s, m, e) -> SFS:
+    return SFS(jnp.asarray(s, I32), jnp.asarray(m, U64), jnp.asarray(e, I32))
+
+
+def sfs_of(x: SFJ, sign=1) -> SFS:
+    s = jnp.where(x.m == U64(0), I32(0), I32(sign))
+    return SFS(s, x.m, x.e)
+
+
+def _mag_gt(xm, xe, ym, ye):
+    """value(x) > value(y) for normalized magnitudes (m in [2^52, 2^53))."""
+    return (xe > ye) | ((xe == ye) & (xm > ym))
+
+
+def _sub_mag(xm, xe, ym, ye) -> SFJ:
+    """Correctly-rounded x - y for magnitudes with value(x) > value(y) > 0.
+
+    Three guard bits; the dropped fraction of y becomes a borrow plus a
+    sticky remainder (true diff = S + g with g in [0,1) of a guard unit;
+    g > 0 only when the exponent gap >= 2, in which case no massive
+    cancellation is possible and the result keeps >= 53 bits)."""
+    d = (xe - ye).astype(U64)
+    far = d > U64(55)
+    d_eff = jnp.where(far, U64(0), d)
+    X3 = xm << U64(3)
+    Y3full = ym << U64(3)
+    Y3 = jnp.where(far, U64(0), Y3full >> d_eff)
+    f_nz = jnp.where(
+        far, True, (Y3full & ((U64(1) << d_eff) - U64(1))) != U64(0))
+    S = X3 - Y3 - f_nz.astype(U64)
+    sticky = f_nz
+
+    bl = _bitlen(S)
+    drop = (bl - 53).clip(0).astype(U64)
+    q = S >> drop
+    rem = S & ((U64(1) << drop) - U64(1))
+    half = jnp.where(drop > U64(0), U64(1) << (drop - U64(1)), U64(0))
+    tie = (drop > U64(0)) & (rem == half)
+    up = (rem > half) | (tie & (sticky | ((q & U64(1)) == U64(1))))
+    q = q + up.astype(U64)
+    carry = q == MHIGH
+    q = jnp.where(carry, MLOW, q)
+    e = xe - I32(3) + drop.astype(I32) + carry.astype(I32)
+    # fewer than 53 bits: exact upshift (sticky is provably 0 here)
+    upshift = (I32(53) - bl).clip(0).astype(U64)
+    low = drop == U64(0)
+    q = jnp.where(low, S << upshift, q)
+    e = jnp.where(low, xe - I32(3) - upshift.astype(I32), e)
+    zero = S == U64(0)
+    return SFJ(jnp.where(zero, U64(0), q), jnp.where(zero, I32(0), e))
+
+
+def sfs_add(x: SFS, y: SFS) -> SFS:
+    """Correctly-rounded f64 signed addition."""
+    x_zero = x.s == I32(0)
+    y_zero = y.s == I32(0)
+
+    same = x.s == y.s
+    mag_sum = sf_add(SFJ(x.m, x.e), SFJ(y.m, y.e))
+
+    x_big = _mag_gt(x.m, x.e, y.m, y.e)
+    y_big = _mag_gt(y.m, y.e, x.m, x.e)
+    bm = jnp.where(x_big, x.m, y.m)
+    be = jnp.where(x_big, x.e, y.e)
+    sm = jnp.where(x_big, y.m, x.m)
+    se = jnp.where(x_big, y.e, x.e)
+    mag_diff = _sub_mag(bm, be, sm, se)
+    diff_sign = jnp.where(x_big, x.s, jnp.where(y_big, y.s, I32(0)))
+    # equal magnitudes, opposite signs -> exactly +0
+    eq = ~x_big & ~y_big
+    mag_diff = SFJ(jnp.where(eq, U64(0), mag_diff.m),
+                   jnp.where(eq, I32(0), mag_diff.e))
+
+    s = jnp.where(same, x.s, diff_sign)
+    m = jnp.where(same, mag_sum.m, mag_diff.m)
+    e = jnp.where(same, mag_sum.e, mag_diff.e)
+    s = jnp.where(m == U64(0), I32(0), s)
+
+    s = jnp.where(x_zero, y.s, jnp.where(y_zero, x.s, s))
+    m = jnp.where(x_zero, y.m, jnp.where(y_zero, x.m, m))
+    e = jnp.where(x_zero, y.e, jnp.where(y_zero, x.e, e))
+    return SFS(s, m, e)
+
+
+def sfs_clip1(x: SFS) -> SFS:
+    """clip(value, -1, 1) — exact (|v| > 1 iff (e, m) > (-52, 2^52))."""
+    over = (x.e > I32(-52)) | ((x.e == I32(-52)) & (x.m > MLOW))
+    return SFS(x.s,
+               jnp.where(over, jnp.asarray(MLOW), x.m),
+               jnp.where(over, I32(-52), x.e))
+
+
+def sfs_to_bits(x: SFS) -> jax.Array:
+    """IEEE-754 f64 bit pattern (domain: normals only, plus +0)."""
+    biased = (x.e + I32(52) + I32(1023)).astype(U64)
+    bits = (biased << U64(52)) | (x.m - MLOW)
+    bits = bits | jnp.where(x.s < 0, U64(1) << U64(63), U64(0))
+    return jnp.where(x.s == I32(0), U64(0), bits)
+
+
+def sfs_to_f64(x: SFS) -> jax.Array:
+    """Value as host-faithful f64 via exact integer reconstruction.
+    Only bit-reliable where hardware f64 is IEEE (CPU); on TPU use
+    sfs_to_bits and decode on the host."""
+    mag = jnp.ldexp(x.m.astype(jnp.float64), x.e)
+    return jnp.where(x.s < 0, -mag, mag)

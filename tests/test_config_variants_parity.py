@@ -29,7 +29,7 @@ def test_parity_with_sorting_noise():
         np.asarray(outs.obs), np.stack([r["obs"] for r in records]))
     np.testing.assert_allclose(
         np.asarray(outs.reward), np.array([r["reward"] for r in records]),
-        rtol=0, atol=1e-12)
+        rtol=0, atol=0)
     snap = records[-1]["snap"]
     np.testing.assert_array_equal(np.asarray(st_f.acc_belt), snap["acc_belt"])
     np.testing.assert_array_equal(np.asarray(st_f.cont_true), snap["cont_true"])

@@ -98,7 +98,7 @@ def test_mono_modular_model_mode_parity():
     np.testing.assert_array_equal(np.asarray(outs.obs), ref_obs)
     ref_rew = np.array([r["reward"] for r in records])
     np.testing.assert_allclose(np.asarray(outs.reward), ref_rew,
-                               rtol=0, atol=1e-12)
+                               rtol=0, atol=0)
     ref_act = np.array([r["action"] for r in records])
     np.testing.assert_array_equal(np.asarray(outs.action), ref_act)
 

@@ -18,7 +18,7 @@ def test_monolith_gym_wrapper_matches_reference_rule_based():
     for t, rec in enumerate(records):
         obs, r, done, trunc, info = ours.step(action=None, mode="rule_based")
         np.testing.assert_array_equal(obs, rec["obs"], err_msg=f"t={t}")
-        assert abs(r - rec["reward"]) < 1e-12
+        assert r == rec["reward"]
         assert info["action"] == rec["action"]
 
 

@@ -86,7 +86,7 @@ def test_mono_random_masked_parity():
         np.asarray(outs.obs), np.stack([r["obs"] for r in records]))
     np.testing.assert_allclose(
         np.asarray(outs.reward), np.array([r["reward"] for r in records]),
-        rtol=0, atol=1e-12)
+        rtol=0, atol=0)
 
 
 def test_mono_random_unmasked_parity():

@@ -1,8 +1,9 @@
 """Golden-trajectory parity: the jitted TPU engine must reproduce the
 reference implementation bit-for-bit — state, observations, masks, and
-rewards (rewards involving tanh are compared to 1e-12: the tanh *argument*
-is bit-exact but libm's tanh and XLA's differ in the last ulp; the reward
-never feeds back into the dynamics, so trajectories stay exact).
+rewards.  Rewards are exact too: the sorting reward's ``np.tanh`` is
+resolved through the finite-domain lookup table built by
+``core/reward_tables.py`` (the table values ARE NumPy's tanh outputs),
+so every comparison here is zero-tolerance.
 """
 
 import numpy as np
@@ -87,7 +88,7 @@ def run_ours(variant_step, cfg, seed, actions):
 
 
 def replay_compare(variant, cfg, seed, actions, records, variant_step,
-                   reward_tol=1e-12):
+                   reward_tol=0.0):
     st = S.reset(cfg, seed)
     step_jit = jax.jit(lambda st, a: variant_step(cfg, st, a))
     for t, rec in enumerate(records):
@@ -118,7 +119,7 @@ def test_env1_sort_parity_more_seeds_scanned():
         np.testing.assert_array_equal(np.asarray(outs.obs), ref_obs)
         ref_rew = np.array([r["reward"] for r in records])
         np.testing.assert_allclose(np.asarray(outs.reward), ref_rew,
-                                   rtol=0, atol=1e-12)
+                                   rtol=0, atol=0)
         # final state fingerprints
         snap = records[-1]["snap"]
         np.testing.assert_array_equal(np.asarray(st_f.cont_true), snap["cont_true"])
@@ -140,7 +141,7 @@ def test_env3_mono_rule_based_parity():
     np.testing.assert_array_equal(np.asarray(outs.obs), ref_obs)
     ref_rew = np.array([r["reward"] for r in records])
     np.testing.assert_allclose(np.asarray(outs.reward), ref_rew, rtol=0,
-                               atol=1e-12)
+                               atol=0)
     ref_act = np.array([r["action"] for r in records])
     np.testing.assert_array_equal(np.asarray(outs.action), ref_act)
     # press rewards must be bit-exact (no tanh involved)
@@ -195,7 +196,7 @@ def test_env3_mono_external_masked_parity():
     np.testing.assert_array_equal(np.asarray(outs.obs), ref_obs)
     ref_rew = np.array([r["reward"] for r in records])
     np.testing.assert_allclose(np.asarray(outs.reward), ref_rew, rtol=0,
-                               atol=1e-12)
+                               atol=0)
 
 
 def test_env3_mono_external_unmasked_sanitize_parity():
@@ -217,7 +218,7 @@ def test_env3_mono_external_unmasked_sanitize_parity():
     np.testing.assert_array_equal(np.asarray(outs.obs), ref_obs)
     ref_rew = np.array([r["reward"] for r in records])
     np.testing.assert_allclose(np.asarray(outs.reward), ref_rew, rtol=0,
-                               atol=1e-12)
+                               atol=0)
     snap = records[-1]["snap"]
     np.testing.assert_array_equal(np.asarray(st_f.cont_true), snap["cont_true"])
 

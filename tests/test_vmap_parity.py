@@ -38,7 +38,7 @@ def test_vmapped_env1_per_instance_parity():
             np.asarray(outs.obs)[:, k], ref_obs, err_msg=f"seed {seed}")
         ref_rew = np.array([r["reward"] for r in records])
         np.testing.assert_allclose(
-            np.asarray(outs.reward)[:, k], ref_rew, rtol=0, atol=1e-12)
+            np.asarray(outs.reward)[:, k], ref_rew, rtol=0, atol=0)
         snap = records[-1]["snap"]
         np.testing.assert_array_equal(
             np.asarray(st_f.cont_true)[k], snap["cont_true"])
