@@ -25,6 +25,7 @@ hold on-device.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -339,9 +340,107 @@ def press_action_rules_exact(cfg: SimConfig, st: EnvState, press_id, m):
 # Step (rule-based monolith — the benchmark's closed loop) and helpers
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Exact rewards: no f64 arithmetic on device.  The sorting reward comes
+# from the finite-domain lookup (reward_tables.py — NumPy's own tanh
+# outputs); the press reward decomposes into integer cutoffs, one
+# soft-float integer division, a host-enumerated action table, and one
+# correctly-rounded signed add (softfloat.sfs_add).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _sort_tab_exact(cfg: SimConfig):
+    from . import reward_tables as RT
+
+    t = RT.build_sorting_table(cfg)
+    return (jnp.asarray(t.idx2), jnp.asarray(t.idx3), jnp.asarray(t.idx4),
+            jnp.asarray(t.reward_sign), jnp.asarray(t.reward_m),
+            jnp.asarray(t.reward_e))
+
+
+@functools.lru_cache(maxsize=4)
+def _press_tab_exact(cfg: SimConfig):
+    from . import reward_tables as RT
+
+    # the exact engine supports the reference's 0.5 exactly (an exponent
+    # decrement); any other value would need a general sf multiply
+    assert cfg.max_state_reward == 0.5, "exact press reward needs msr=0.5"
+    t = RT.build_press_table(cfg)
+
+    def const(v):
+        s, m, e = RT._decompose(np.asarray([v], np.float64))
+        return (I32(int(s[0])), jnp.asarray(m[0]), I32(int(e[0])))
+
+    return (t.cut_catastrophic, t.cut_severe, t.cut_mild,
+            jnp.asarray(t.action_sign), jnp.asarray(t.action_m),
+            jnp.asarray(t.action_e),
+            const(cfg.overflow_penalty_catastrophic),
+            const(cfg.overflow_penalty_severe),
+            const(cfg.overflow_penalty_mild))
+
+
+def _sfs_where(c, a: SF.SFS, b: SF.SFS) -> SF.SFS:
+    return SF.SFS(jnp.where(c, a.s, b.s), jnp.where(c, a.m, b.m),
+                  jnp.where(c, a.e, b.e))
+
+
+def calculate_sorting_reward_exact(cfg: SimConfig, st: EnvState) -> SF.SFS:
+    """Bit-exact sorting reward from purity cents (env_super.py:963-1003
+    via the finite-domain table)."""
+    idx2, idx3, idx4, s, m, e = _sort_tab_exact(cfg)
+    c = container_purity_cents(cfg, st)
+    k = idx4[idx3[idx2[c[0], c[1]], c[2]], c[3]]
+    return SF.SFS(s[k], m[k], e[k])
+
+
+def calculate_press_reward_exact(
+        cfg: SimConfig, st: EnvState) -> Tuple[SF.SFS, EnvState]:
+    """Bit-exact press reward (env_super.py:1006-1080) in integers +
+    soft-float.  Mirrors dynamics.calculate_press_reward including the
+    flag-reset semantics."""
+    (cut_cat, cut_sev, cut_mild, asign, am, ae,
+     c_cat, c_sev, c_mild) = _press_tab_exact(cfg)
+
+    levels = jnp.concatenate(
+        [st.cont_true[:4] + st.cont_false, st.cont_true[4:5]])
+    catastrophic = jnp.any(levels >= cut_cat)
+    severe = jnp.any(levels >= cut_sev)
+    mild = jnp.any(levels >= cut_mild)
+
+    total = levels.sum()
+    overall = SF.sf_div_int(total.astype(U64),
+                            U64(5 * cfg.container_capacity))
+    # * max_state_reward (0.5): exact exponent decrement
+    state = SF.SFJ(overall.m, overall.e - I32(1))
+
+    bs = cfg.effective_balesize
+    amount = st.last_press_amount
+    rem = amount % bs
+    dist = jnp.minimum(rem, bs - rem)
+    nb = jnp.minimum(amount // bs, 3)
+    action = SF.SFS(asign[dist, nb], am[dist, nb], ae[dist, nb])
+    zero = SF.SFS(I32(0), U64(0), I32(0))
+    action = _sfs_where(st.last_press_started > 0, action, zero)
+
+    normal = SF.sfs_clip1(SF.sfs_add(SF.sfs_of(state), action))
+    penalized = _sfs_where(severe, SF.SFS(*c_sev), SF.SFS(*c_mild))
+    reward = _sfs_where(
+        catastrophic, SF.SFS(*c_cat),
+        _sfs_where(severe | mild, penalized, normal))
+
+    keep = catastrophic | severe | mild
+    st = st._replace(
+        last_press_started=jnp.where(keep, st.last_press_started,
+                                     jnp.zeros_like(st.last_press_started)),
+        last_press_amount=jnp.where(keep, st.last_press_amount, 0),
+    )
+    return reward, st
+
+
 @partial(jax.jit, static_argnums=(0,))
 def step_mono_rule_exact(cfg: SimConfig, st: EnvState):
-    """Exact-mode equivalent of core.step.step_mono_rule."""
+    """Exact-mode equivalent of core.step.step_mono_rule, including
+    bit-exact rewards (emitted as IEEE-754 bit patterns)."""
     st = D.input_action_rules(cfg, st)
     st = update_environment_exact(cfg, st)
     sort_mode = D.sorting_rules(st)
@@ -351,6 +450,10 @@ def step_mono_rule_exact(cfg: SimConfig, st: EnvState):
     st = update_accuracy_exact(cfg, st)
     purity_cents, st = sort_material_exact(cfg, st)
     log, st = press_action_rules_exact(cfg, st, press_id, mat)
+
+    sort_reward = calculate_sorting_reward_exact(cfg, st)
+    press_reward, st = calculate_press_reward_exact(cfg, st)
+    reward = SF.sfs_add(sort_reward, press_reward)
 
     obs = get_mono_obs_exact(cfg, st)
     st = st._replace(current_step=st.current_step + 1)
@@ -363,7 +466,29 @@ def step_mono_rule_exact(cfg: SimConfig, st: EnvState):
         "action": flat.astype(I32),
         "purity_cents": purity_cents,
         "press_log": log,
+        "reward_bits": SF.sfs_to_bits(reward),
+        "sort_reward_bits": SF.sfs_to_bits(sort_reward),
+        "press_reward_bits": SF.sfs_to_bits(press_reward),
+        "reward_sfs": reward,
     }
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def rollout_rule_exact(cfg: SimConfig, st: EnvState, steps: int):
+    """Full rule-based episode with the cumulative return accumulated
+    on-device in signed soft-float — the reference's headline benchmark
+    metric (testing.py:78-85: Python-float left-to-right sum), bit-exact
+    whatever the accelerator's f64 does."""
+    def body(carry, _):
+        st, acc = carry
+        st, out = step_mono_rule_exact(cfg, st)
+        acc = SF.sfs_add(acc, out["reward_sfs"])
+        out = {k: v for k, v in out.items() if k != "reward_sfs"}
+        return (st, acc), out
+
+    (st, acc), outs = lax.scan(
+        body, (st, SF.sfs_zero()), None, length=steps)
+    return st, outs, SF.sfs_to_bits(acc)
 
 
 def to_parity_view(st: EnvState) -> dict:

@@ -88,7 +88,8 @@ def run_sim(args) -> dict:
             total_timesteps=args.timesteps, n_envs=args.n_envs,
             seed=args.seed, engine=args.engine,
             bench_seeds=args.bench_seeds, steps_test=args.steps,
-            models_dir=args.models_dir, logger=logger)
+            models_dir=args.models_dir, logger=logger,
+            tuned=args.tuned)
         logger.close()
         bench_dir = plots.make_benchmark_dir(
             os.path.join(args.fig_dir, "benchmarks"),
@@ -118,6 +119,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--balesize", type=int, default=200)       # main.py:43
     p.add_argument("--n-envs", type=int, default=16)
     p.add_argument("--engine", choices=["fast", "parity"], default="fast")
+    p.add_argument("--tuned", action="store_true",
+                   help="use the swept PPO preset (lr 1e-3, ent 0.01) instead of the reference-mirroring defaults")
     p.add_argument("--config", default=None, help="reference-format yml")
     p.add_argument("--tag", default=None)
     p.add_argument("--models-dir", default="./models")

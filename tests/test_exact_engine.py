@@ -74,3 +74,39 @@ def test_exact_engine_matches_parity_engine_bitwise():
         np.testing.assert_array_equal(
             np.asarray(stx.rng_noise.state_lo),
             np.asarray(stp.rng_noise.state_lo))
+
+def test_exact_engine_rewards_bitwise_and_cumulative():
+    """Exact-engine rewards (pure integer/soft-float, no device f64) must
+    equal the parity engine's f64 rewards bit-for-bit, and the on-device
+    cumulative return must equal the reference's left-to-right Python sum
+    (testing.py:78-85)."""
+    for seed in (42, 7):
+        steps = 150
+        st = S.reset(CFG, seed)
+
+        def body(st, _):
+            st, out = ST.step_mono_rule(CFG, st)
+            return st, (out.reward, out.sort_reward, out.press_reward)
+
+        _, (rew_p, sr_p, pr_p) = jax.jit(
+            lambda st: lax.scan(body, st, None, length=steps))(st)
+
+        stx = S.reset(CFG, seed)
+        _, outs, cum_bits = XD.rollout_rule_exact(CFG, stx, steps)
+
+        np.testing.assert_array_equal(
+            np.asarray(outs["reward_bits"]),
+            np.asarray(rew_p, np.float64).view(np.uint64),
+            err_msg=f"total reward seed {seed}")
+        np.testing.assert_array_equal(
+            np.asarray(outs["sort_reward_bits"]),
+            np.asarray(sr_p, np.float64).view(np.uint64))
+        np.testing.assert_array_equal(
+            np.asarray(outs["press_reward_bits"]),
+            np.asarray(pr_p, np.float64).view(np.uint64))
+
+        # cumulative: reference sums per-step floats left to right
+        acc = 0.0
+        for r in np.asarray(rew_p, np.float64):
+            acc = acc + float(r)
+        assert np.uint64(int(cum_bits)) == np.float64(acc).view(np.uint64)
