@@ -350,16 +350,17 @@ def press_action_rules_exact(cfg: SimConfig, st: EnvState, press_id, m):
 
 @functools.lru_cache(maxsize=4)
 def _sort_tab_exact(cfg: SimConfig):
+    # NOTE: must return HOST (numpy) constants only — jnp arrays created
+    # here would be cached as leaked tracers when first called under jit
     from . import reward_tables as RT
 
     t = RT.build_sorting_table(cfg)
-    return (jnp.asarray(t.idx2), jnp.asarray(t.idx3), jnp.asarray(t.idx4),
-            jnp.asarray(t.reward_sign), jnp.asarray(t.reward_m),
-            jnp.asarray(t.reward_e))
+    return (t.idx2, t.idx3, t.idx4, t.reward_sign, t.reward_m, t.reward_e)
 
 
 @functools.lru_cache(maxsize=4)
 def _press_tab_exact(cfg: SimConfig):
+    # host constants only (see _sort_tab_exact)
     from . import reward_tables as RT
 
     # the exact engine supports the reference's 0.5 exactly (an exponent
@@ -369,11 +370,10 @@ def _press_tab_exact(cfg: SimConfig):
 
     def const(v):
         s, m, e = RT._decompose(np.asarray([v], np.float64))
-        return (I32(int(s[0])), jnp.asarray(m[0]), I32(int(e[0])))
+        return (np.int32(s[0]), np.uint64(m[0]), np.int32(e[0]))
 
     return (t.cut_catastrophic, t.cut_severe, t.cut_mild,
-            jnp.asarray(t.action_sign), jnp.asarray(t.action_m),
-            jnp.asarray(t.action_e),
+            t.action_sign, t.action_m, t.action_e,
             const(cfg.overflow_penalty_catastrophic),
             const(cfg.overflow_penalty_severe),
             const(cfg.overflow_penalty_mild))
@@ -387,7 +387,7 @@ def _sfs_where(c, a: SF.SFS, b: SF.SFS) -> SF.SFS:
 def calculate_sorting_reward_exact(cfg: SimConfig, st: EnvState) -> SF.SFS:
     """Bit-exact sorting reward from purity cents (env_super.py:963-1003
     via the finite-domain table)."""
-    idx2, idx3, idx4, s, m, e = _sort_tab_exact(cfg)
+    idx2, idx3, idx4, s, m, e = map(jnp.asarray, _sort_tab_exact(cfg))
     c = container_purity_cents(cfg, st)
     k = idx4[idx3[idx2[c[0], c[1]], c[2]], c[3]]
     return SF.SFS(s[k], m[k], e[k])
@@ -400,6 +400,7 @@ def calculate_press_reward_exact(
     flag-reset semantics."""
     (cut_cat, cut_sev, cut_mild, asign, am, ae,
      c_cat, c_sev, c_mild) = _press_tab_exact(cfg)
+    asign, am, ae = jnp.asarray(asign), jnp.asarray(am), jnp.asarray(ae)
 
     levels = jnp.concatenate(
         [st.cont_true[:4] + st.cont_false, st.cont_true[4:5]])
@@ -464,6 +465,123 @@ def step_mono_rule_exact(cfg: SimConfig, st: EnvState):
         "obs": obs,
         "terminated": terminated,
         "action": flat.astype(I32),
+        "purity_cents": purity_cents,
+        "press_log": log,
+        "reward_bits": SF.sfs_to_bits(reward),
+        "sort_reward_bits": SF.sfs_to_bits(sort_reward),
+        "press_reward_bits": SF.sfs_to_bits(press_reward),
+        "reward_sfs": reward,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Exact variants of the remaining non-model step paths.  Every action
+# source that involves no float MLP forward is TPU-exact: external
+# actions (training/eval replay), the random-masked press side of Env_1
+# (rng_pressing, pure integers), rule-based sides, and sanitize paths.
+# Frozen-policy paths are excluded by design: f32 matmul+tanh results
+# are not bit-portable across CPU and MXU, so model-in-the-loop
+# trajectories are covered by the CPU parity engine instead.
+# ---------------------------------------------------------------------------
+
+def _exact_prelude(cfg: SimConfig, st: EnvState) -> EnvState:
+    st = D.input_action_rules(cfg, st)
+    return update_environment_exact(cfg, st)
+
+
+def _exact_apply_sort(cfg: SimConfig, st: EnvState, sort_mode):
+    st = st._replace(sensor_setting=jnp.asarray(sort_mode, I32))
+    st = update_accuracy_exact(cfg, st)
+    return sort_material_exact(cfg, st)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def step_sort_exact(cfg: SimConfig, st: EnvState, action):
+    """Exact Env_1_Sorting step (core.step.step_sort): agent sort mode,
+    random *masked* press action via rng_pressing, sorting reward only."""
+    st = _exact_prelude(cfg, st)
+    purity_cents, st = _exact_apply_sort(cfg, st, action)
+    press_id, mat, st = D.sample_masked_press_action(cfg, st)
+    log, st = press_action_rules_exact(cfg, st, press_id, mat)
+    reward = calculate_sorting_reward_exact(cfg, st)
+    obs = get_sort_obs_exact(cfg, st)
+    st = st._replace(current_step=st.current_step + 1)
+    return st, {
+        "obs": obs,
+        "terminated": st.current_step >= cfg.max_steps,
+        "action": jnp.asarray(action, I32),
+        "purity_cents": purity_cents,
+        "press_log": log,
+        "reward_bits": SF.sfs_to_bits(reward),
+        "reward_sfs": reward,
+    }
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def step_press_exact(cfg: SimConfig, st: EnvState, action,
+                     use_action_masking: bool = True):
+    """Exact Env_2_Pressing step with the rule-based sort side
+    (core.step.step_press without a frozen agent): agent press action
+    (sanitized when masking is off), press reward only."""
+    st = _exact_prelude(cfg, st)
+    sort_mode = D.sorting_rules(st)
+    purity_cents, st = _exact_apply_sort(cfg, st, sort_mode)
+
+    a = jnp.asarray(action, I32)
+    if use_action_masking:
+        press_id, mat = D.press_discrete_to_action(a)
+        invalid_code = jnp.zeros((), I32)
+    else:
+        press_id, mat, _, invalid_code = D.sanitize_press_action(cfg, st, a)
+    log, st = press_action_rules_exact(cfg, st, press_id, mat)
+    log = jnp.where(invalid_code != 0, invalid_code, log)
+
+    reward, st = calculate_press_reward_exact(cfg, st)
+    obs = get_press_obs_exact(cfg, st)
+    st = st._replace(current_step=st.current_step + 1)
+    return st, {
+        "obs": obs,
+        "terminated": st.current_step >= cfg.max_steps,
+        "action": a,
+        "purity_cents": purity_cents,
+        "press_log": log,
+        "reward_bits": SF.sfs_to_bits(reward),
+        "reward_sfs": reward,
+    }
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def step_mono_external_exact(cfg: SimConfig, st: EnvState, action,
+                             use_action_masking: bool = True):
+    """Exact external-action monolith step (core.step.step_mono_external),
+    including the sanitize quirk: an invalid unmasked action skips
+    press_action_rules entirely, so press timers do not tick."""
+    st = _exact_prelude(cfg, st)
+    a = jnp.asarray(action, I32)
+    sort_mode = a // 11
+    press_disc = a % 11
+    if use_action_masking:
+        press_id, mat = D.press_discrete_to_action(press_disc)
+        skip = jnp.zeros((), bool)
+        inv_code = jnp.zeros((), I32)
+    else:
+        press_id, mat, skip, inv_code = D.sanitize_press_action(
+            cfg, st, press_disc)
+
+    purity_cents, st = _exact_apply_sort(cfg, st, sort_mode)
+    log_exec, dispatched = press_action_rules_exact(cfg, st, press_id, mat)
+    st = jax.tree.map(lambda x, y: jnp.where(skip, x, y), st, dispatched)
+    log = jnp.where(skip, inv_code, log_exec)
+
+    sort_reward = calculate_sorting_reward_exact(cfg, st)
+    press_reward, st = calculate_press_reward_exact(cfg, st)
+    reward = SF.sfs_add(sort_reward, press_reward)
+    obs = get_mono_obs_exact(cfg, st)
+    st = st._replace(current_step=st.current_step + 1)
+    return st, {
+        "obs": obs,
+        "terminated": st.current_step >= cfg.max_steps,
+        "action": a,
         "purity_cents": purity_cents,
         "press_log": log,
         "reward_bits": SF.sfs_to_bits(reward),

@@ -46,7 +46,9 @@ _PATTERNS = jnp.array(
     F32,
 )
 
-_HG_SUPPORT = 128  # >= stage capacity + slack
+_HG_SUPPORT = 104  # >= max draw (input_batch_size=100) + slack; the
+# support axis is HBM-traffic-critical (12 prefix pipelines per step),
+# so keep it as tight as the dynamics allow
 
 
 class FastEnvState(NamedTuple):

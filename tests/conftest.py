@@ -21,6 +21,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the suite is dominated by x64 scan
+# compiles (~10 of >30s each); repeat runs and xdist workers share them
+jax.config.update("jax_compilation_cache_dir", "/tmp/marl_tpu_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # Make the reference checkout importable for golden-trajectory generation.
 REFERENCE_PATH = "/root/reference"

@@ -110,3 +110,71 @@ def test_exact_engine_rewards_bitwise_and_cumulative():
         for r in np.asarray(rew_p, np.float64):
             acc = acc + float(r)
         assert np.uint64(int(cum_bits)) == np.float64(acc).view(np.uint64)
+
+def _scan(step, st, actions):
+    def body(st, a):
+        st, out = step(st, a)
+        return st, out
+    return jax.jit(lambda st, acts: lax.scan(body, st, acts))(
+        st, jnp.asarray(actions, jnp.int32))
+
+
+def _assert_match(outs_x, outs_p, check_sort_press=False):
+    np.testing.assert_array_equal(
+        np.asarray(outs_x["obs"]).view(np.uint32),
+        np.asarray(outs_p.obs).view(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(outs_x["reward_bits"]),
+        np.asarray(outs_p.reward, np.float64).view(np.uint64))
+    np.testing.assert_array_equal(
+        np.asarray(outs_x["press_log"]), np.asarray(outs_p.press_log))
+    if check_sort_press:
+        np.testing.assert_array_equal(
+            np.asarray(outs_x["sort_reward_bits"]),
+            np.asarray(outs_p.sort_reward, np.float64).view(np.uint64))
+        np.testing.assert_array_equal(
+            np.asarray(outs_x["press_reward_bits"]),
+            np.asarray(outs_p.press_reward, np.float64).view(np.uint64))
+
+
+def test_exact_step_sort_matches_parity():
+    seed, steps = 42, 120
+    rng = np.random.default_rng(5)
+    actions = rng.integers(0, 2, steps)
+    st = S.reset(CFG, seed)
+    _, outs_p = _scan(lambda s, a: ST.step_sort(CFG, s, a), st, actions)
+    st = S.reset(CFG, seed)
+    _, outs_x = _scan(lambda s, a: XD.step_sort_exact(CFG, s, a), st, actions)
+    _assert_match(outs_x, outs_p)
+
+
+def test_exact_step_press_matches_parity_masked_and_unmasked():
+    seed, steps = 42, 120
+    rng = np.random.default_rng(6)
+    actions = rng.integers(0, 11, steps)  # includes invalid ones
+    for masking in (True, False):
+        st = S.reset(CFG, seed)
+        _, outs_p = _scan(
+            lambda s, a: ST.step_press(CFG, s, a, None, masking), st,
+            actions if not masking else np.zeros(steps, np.int64))
+        st = S.reset(CFG, seed)
+        _, outs_x = _scan(
+            lambda s, a: XD.step_press_exact(CFG, s, a, masking), st,
+            actions if not masking else np.zeros(steps, np.int64))
+        _assert_match(outs_x, outs_p)
+
+
+def test_exact_step_mono_external_matches_parity():
+    seed, steps = 42, 120
+    rng = np.random.default_rng(7)
+    actions = rng.integers(0, 22, steps)
+    for masking in (True, False):
+        acts = np.zeros(steps, np.int64) if masking else actions
+        st = S.reset(CFG, seed)
+        _, outs_p = _scan(
+            lambda s, a: ST.step_mono_external(CFG, s, a, masking), st, acts)
+        st = S.reset(CFG, seed)
+        _, outs_x = _scan(
+            lambda s, a: XD.step_mono_external_exact(CFG, s, a, masking),
+            st, acts)
+        _assert_match(outs_x, outs_p, check_sort_press=True)
