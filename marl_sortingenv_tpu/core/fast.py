@@ -222,11 +222,13 @@ def _generate_input(cfg: SimConfig, st: FastEnvState):
     remainder = I32(bs) - units.sum()
 
     key, k1 = jax.random.split(st.key)
-    # remainder <= 4 in practice; draw 4 materials, apply first `remainder`
+    # remainder <= 4 in practice; draw 4 materials, apply first `remainder`.
+    # One-hot matrix sum instead of 4 sequential scatters (scatters
+    # serialize badly on TPU).
     ms = jax.random.randint(k1, (4,), 0, 4)
-    add = jnp.zeros(4, I32)
-    for i in range(4):
-        add = add.at[ms[i]].add(jnp.where(i < remainder, 1, 0).astype(I32))
+    active = jnp.arange(4, dtype=I32) < remainder
+    add = ((ms[:, None] == jnp.arange(4, dtype=I32)[None, :])
+           & active[:, None]).sum(axis=0).astype(I32)
     units = units + add
     st = st._replace(
         gen_pattern_idx=pattern_idx,
