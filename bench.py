@@ -1,7 +1,9 @@
 """Throughput benchmark: env-steps/s per chip on Env_3_Monolith, 4096
 lockstep instances (the BASELINE.json metric).
 
-Runs the fast TPU engine (f32/i32/threefry — the tunneled TPU emulates
+Runs the batch-last fast TPU engine (core.fastb: f32/i32/threefry,
+struct-of-arrays with the env batch on the 128-lane axis; bit-identical
+trajectories to the vmapped per-env fast engine — the tunneled TPU emulates
 f64 at reduced precision, so the bit-exact parity engine is CPU-verified
 by the test suite while this measures the production path) stepping the
 closed-loop rule-based monolith under one jitted scan.
@@ -25,7 +27,7 @@ import numpy as np
 from jax import lax
 
 from marl_sortingenv_tpu.config.config import load_config
-from marl_sortingenv_tpu.core import fast as FE
+from marl_sortingenv_tpu.core import fastb as FB
 
 N_ENVS = 4096
 N_STEPS = 512
@@ -35,12 +37,11 @@ BASELINE = 1_000_000.0  # >=1M env-steps/s/host (BASELINE.json north star)
 
 def main():
     cfg = load_config()
-    st = FE.reset_batch(cfg, jax.random.PRNGKey(0), N_ENVS)
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(0), N_ENVS)
+    stepped = FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s))
 
     def body(st, _):
-        st, out = jax.vmap(
-            FE.with_autoreset(cfg, lambda c, s, a: FE.step_mono_rule(c, s))
-        )(st, jnp.zeros(N_ENVS, jnp.int32))
+        st, out = stepped(st, jnp.zeros(N_ENVS, jnp.int32))
         return st, out.reward.sum()
 
     run = jax.jit(lambda st: lax.scan(body, st, None, length=N_STEPS))

@@ -31,6 +31,7 @@ from jax import lax
 from ..config.config import SimConfig
 from ..core import dynamics as D
 from ..core import fast as FE
+from ..core import fastb as FB
 from ..core import step as ST
 from ..core import wrappers as W
 from ..core.state import EnvState
@@ -70,16 +71,21 @@ class PPOConfig:
 class VariantSpec:
     """Learner-facing description of one env variant.
 
-    ``engine``: 'parity' (bit-exact u64/f64 engine, CPU-friendly) or
-    'fast' (f32/i32/threefry TPU engine, distribution-equivalent)."""
+    ``engine``: 'parity' (bit-exact u64/f64 engine, CPU-friendly),
+    'fast' (f32/i32/threefry per-env TPU engine, distribution-equivalent,
+    batched via vmap), or 'fastb' (same dynamics/streams as 'fast' but
+    batch-last struct-of-arrays layout — the high-throughput TPU path)."""
     name: str                 # 'sort' | 'press' | 'mono'
     obs_dim: int
     n_actions: int
     use_mask: bool
     engine: str = "parity"
 
+    def _mod(self):
+        return {"fast": FE, "fastb": FB}.get(self.engine, D)
+
     def mask_fn(self, cfg: SimConfig, st):
-        mod = FE if self.engine == "fast" else D
+        mod = self._mod()
         if self.name == "press":
             return mod.press_action_masks(cfg, st)
         if self.name == "mono":
@@ -87,7 +93,7 @@ class VariantSpec:
         return jnp.ones(self.n_actions, bool)
 
     def obs_fn(self, cfg: SimConfig, st):
-        mod = FE if self.engine == "fast" else D
+        mod = self._mod()
         if self.name == "sort":
             return mod.get_sort_obs(cfg, st)
         if self.name == "press":
@@ -95,13 +101,14 @@ class VariantSpec:
         return mod.get_mono_obs(cfg, st)
 
     def step_fn(self, sort_policy=None, use_action_masking=True):
-        if self.engine == "fast":
+        if self.engine in ("fast", "fastb"):
+            mod = self._mod()
             if self.name == "sort":
-                return FE.step_sort
+                return mod.step_sort
             if self.name == "press":
-                return lambda cfg, st, a: FE.step_press(
+                return lambda cfg, st, a: mod.step_press(
                     cfg, st, a, sort_policy, use_action_masking)
-            return lambda cfg, st, a: FE.step_mono_external(
+            return lambda cfg, st, a: mod.step_mono_external(
                 cfg, st, a, use_action_masking)
         if self.name == "sort":
             return ST.step_sort
@@ -112,16 +119,44 @@ class VariantSpec:
             cfg, st, a, use_action_masking)
 
     def wrap_autoreset(self, cfg: SimConfig, step_fn):
-        if self.engine == "fast":
-            return FE.with_autoreset(cfg, step_fn)
+        if self.engine in ("fast", "fastb"):
+            return self._mod().with_autoreset(cfg, step_fn)
         return W.with_autoreset(cfg, step_fn)
 
     def reset_batch(self, cfg: SimConfig, n_envs: int, seed0: int = 0):
-        if self.engine == "fast":
-            return FE.reset_batch(cfg, jax.random.PRNGKey(seed0), n_envs)
+        if self.engine in ("fast", "fastb"):
+            return self._mod().reset_batch(
+                cfg, jax.random.PRNGKey(seed0), n_envs)
         from ..core import state as S
 
         return S.reset(cfg, np.arange(seed0, seed0 + n_envs))
+
+    # --- batched accessors: 'fastb' functions are natively batched
+    # (obs [N, d], masks [N, A], step over BState); per-env engines get
+    # vmapped here so all learner code paths are layout-agnostic.
+
+    def batched_obs(self, cfg: SimConfig):
+        if self.engine == "fastb":
+            return lambda st: self.obs_fn(cfg, st)
+        return jax.vmap(lambda s: self.obs_fn(cfg, s))
+
+    def batched_masks(self, cfg: SimConfig):
+        if self.engine == "fastb":
+            if self.name == "sort":
+                return lambda st: jnp.ones(
+                    (st.current_step.shape[0], self.n_actions), bool)
+            return lambda st: self.mask_fn(cfg, st)
+        return jax.vmap(lambda s: self.mask_fn(cfg, s))
+
+    def batched_step(self, cfg: SimConfig, step_fn):
+        if self.engine == "fastb":
+            return lambda st, a: step_fn(cfg, st, a)
+        return jax.vmap(lambda s, a: step_fn(cfg, s, a))
+
+    def batched_autoreset_step(self, cfg: SimConfig, step_fn):
+        if self.engine == "fastb":
+            return self.wrap_autoreset(cfg, step_fn)
+        return jax.vmap(self.wrap_autoreset(cfg, step_fn))
 
 
 SORT_SPEC = VariantSpec("sort", 13, 2, use_mask=False)
@@ -171,7 +206,7 @@ def init_train_state(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
     params = mlp.init_params(pkey, spec.obs_dim, spec.n_actions)
     opt_state = make_optimizer(pcfg).init(params)
     env_state = spec.reset_batch(cfg, n_envs, env_seed0)
-    obs = jax.vmap(lambda s: spec.obs_fn(cfg, s))(env_state)
+    obs = spec.batched_obs(cfg)(env_state)
     return TrainState(
         params=params,
         opt_state=opt_state,
@@ -204,8 +239,8 @@ def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
     """Scan n_steps of policy+env; returns transitions and last values.
     With masking off the policy samples the plain categorical (SB3's
     non-maskable PPO path) and the env sanitizes invalid actions."""
-    batched = jax.vmap(spec.wrap_autoreset(cfg, step_fn))
-    masks_of = jax.vmap(lambda s: spec.mask_fn(cfg, s))
+    batched = spec.batched_autoreset_step(cfg, step_fn)
+    masks_of = spec.batched_masks(cfg)
     n = ts.obs.shape[0]
     ones = jnp.ones((n, spec.n_actions), bool)
 
@@ -362,9 +397,9 @@ def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
     (deterministic) policy, return per-env cumulative rewards."""
     step_fn = spec.step_fn(sort_policy, use_action_masking)
     env_state = spec.reset_batch(cfg, n_envs, seed0)
-    obs = jax.vmap(lambda s: spec.obs_fn(cfg, s))(env_state)
-    batched = jax.vmap(lambda s, a: step_fn(cfg, s, a))
-    masks_of = jax.vmap(lambda s: spec.mask_fn(cfg, s))
+    obs = spec.batched_obs(cfg)(env_state)
+    batched = spec.batched_step(cfg, step_fn)
+    masks_of = spec.batched_masks(cfg)
     if key is None:
         key = jax.random.PRNGKey(0)
 

@@ -41,7 +41,7 @@ class TrainResult:
 def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
                 n_envs: int = 64, use_action_masking: bool = True,
                 sort_params: Optional[mlp.ACParams] = None,
-                seed: int = 42, engine: str = "fast",
+                seed: int = 42, engine: str = "fastb",
                 eval_freq: int = 10_000, eval_envs: int = 10,
                 models_dir: str = "./models",
                 save_prefix: Optional[str] = None,
@@ -152,7 +152,7 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
 
 def run_training_flow(cfg: SimConfig, use_action_masking: bool,
                       total_timesteps: int = 100_000, n_envs: int = 16,
-                      seed: int = 42, engine: str = "fast",
+                      seed: int = 42, engine: str = "fastb",
                       bench_seeds: int = 10, steps_test: int = 200,
                       models_dir: str = "./models",
                       logger: Optional[MetricsLogger] = None,

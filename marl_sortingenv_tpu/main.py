@@ -6,7 +6,7 @@ of edit-the-file constants.
 Usage:
     python -m marl_sortingenv_tpu.main --env-analysis
     python -m marl_sortingenv_tpu.main --train-and-benchmark \
-        --timesteps 100000 --n-envs 256 --engine fast
+        --timesteps 100000 --n-envs 256 --engine fastb
     python -m marl_sortingenv_tpu.main --train-without-masking ...
 """
 
@@ -118,7 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-sorting", type=float, default=0.0)  # main.py:42
     p.add_argument("--balesize", type=int, default=200)       # main.py:43
     p.add_argument("--n-envs", type=int, default=16)
-    p.add_argument("--engine", choices=["fast", "parity"], default="fast")
+    p.add_argument("--engine", choices=["fastb", "fast", "parity"],
+                   default="fastb")
     p.add_argument("--tuned", action="store_true",
                    help="use the swept PPO preset (lr 1e-3, ent 0.01) instead of the reference-mirroring defaults")
     p.add_argument("--config", default=None, help="reference-format yml")

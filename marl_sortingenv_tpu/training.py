@@ -13,7 +13,7 @@ from .utils.checkpoint import find_latest_model, save_model  # noqa: F401
 
 def Train_Agent(model_type, env, total_timesteps, use_action_masking,
                 save_prefix=None, experiment=None, logpath=None,
-                n_envs: int = 16, engine: str = "fast"):
+                n_envs: int = 16, engine: str = "fastb"):
     """Reference training.py:51-213.  ``env`` is one of the host wrappers
     (its ``name``/config select the variant); only PPO is supported, as in
     the reference (training.py:145-146)."""
@@ -34,7 +34,7 @@ def Train_Agent(model_type, env, total_timesteps, use_action_masking,
 def RL_Trainer(env, env_class, model_list, max_steps, total_timesteps,
                noise_sorting, tag, seed, use_action_masking,
                test_steps=None, test_dir="./img/figures/", test_save=False,
-               experiment=None, n_envs: int = 16, engine: str = "fast"):
+               experiment=None, n_envs: int = 16, engine: str = "fastb"):
     """Reference training.py:220-265: loop over algos (PPO only)."""
     trained = {}
     for algo in model_list:
