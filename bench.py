@@ -1,16 +1,28 @@
-"""Throughput benchmark: env-steps/s per chip on Env_3_Monolith, 4096
-lockstep instances (the BASELINE.json metric).
+"""Throughput benchmarks on the production TPU path (BASELINE.json north
+star: env-steps/s per chip, Env_3_Monolith, 4096 lockstep instances).
 
-Runs the batch-last fast TPU engine (core.fastb: f32/i32/threefry,
-struct-of-arrays with the env batch on the 128-lane axis; bit-identical
-trajectories to the vmapped per-env fast engine — the tunneled TPU emulates
-f64 at reduced precision, so the bit-exact parity engine is CPU-verified
-by the test suite while this measures the production path) stepping the
-closed-loop rule-based monolith under one jitted scan.
+Three surfaces, all on the batch-last fast engine (``core.fastb``:
+f32/i32/threefry struct-of-arrays with the env batch on the 128-lane
+axis; bit-identical trajectories to the vmapped per-env fast engine —
+the bit-exact f64 parity engine is CPU-verified by the test suite, this
+measures the production path):
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "env_steps_per_sec", "vs_baseline": N}
-vs_baseline is value / 1e6 (the >=1M env-steps/s/host target).
+1. ``mono_rule``   — closed-loop rule-based monolith step (round-1 headline).
+2. ``fused_policy``— Maskable-PPO actor forward (masked argmax) fused with
+                     the monolith env step, the ``__graft_entry__.entry()``
+                     shape at 4096 envs.
+3. ``train_iter``  — the FULL jitted PPO training iteration
+                     (``learn.ppo.make_train_iteration``: rollout scan +
+                     GAE + minibatch update epochs) — learner-attached
+                     env-steps/s and updates/s.
+
+Prints exactly one JSON line.  The headline metric stays the round-1
+comparable ``env_steps_per_sec_per_chip_mono4096``; the other surfaces
+ride in ``extra``.
+
+``--protocol`` additionally times the reference training protocol
+(``main.py:47-52``: 3-stage flow, 100k timesteps per stage) end to end —
+not run by default to keep the driver bench fast.
 """
 
 import json
@@ -28,15 +40,36 @@ from jax import lax
 
 from marl_sortingenv_tpu.config.config import load_config
 from marl_sortingenv_tpu.core import fastb as FB
+from marl_sortingenv_tpu.models import mlp
 
 N_ENVS = 4096
 N_STEPS = 512
 REPEATS = 3
 BASELINE = 1_000_000.0  # >=1M env-steps/s/host (BASELINE.json north star)
 
+# learner-attached config: large-minibatch PPO cadence sized for the env
+# batch (64 grad steps per iteration on 4096 x 64 samples); SB3's tiny
+# batch_size=64 default would serialize ~41k MLP grad steps per iteration,
+# which is a CPU-era cadence, not how this learner runs on a TPU
+TRAIN_N_STEPS = 64
+TRAIN_BATCH = 16384
+TRAIN_EPOCHS = 4
 
-def main():
-    cfg = load_config()
+
+def _time(run, arg, work_units):
+    out = run(arg)               # compile + warmup
+    jax.block_until_ready(out)
+    best = 0.0
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = run(arg)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        best = max(best, work_units / dt)
+    return best
+
+
+def bench_mono_rule(cfg):
     st = FB.reset_batch(cfg, jax.random.PRNGKey(0), N_ENVS)
     stepped = FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s))
 
@@ -45,24 +78,104 @@ def main():
         return st, out.reward.sum()
 
     run = jax.jit(lambda st: lax.scan(body, st, None, length=N_STEPS))
+    return _time(lambda s: run(s)[1], st, N_ENVS * N_STEPS)
 
-    # compile + warmup
-    st, r = run(st)
-    jax.block_until_ready(r)
 
-    best = 0.0
+def bench_fused_policy(cfg):
+    """entry() shape at benchmark scale: masked argmax policy + env step,
+    autoreset, one jitted scan."""
+    params = mlp.init_params(jax.random.PRNGKey(0), obs_dim=29, n_actions=22)
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(1), N_ENVS)
+    stepped = FB.with_autoreset(
+        cfg, lambda c, s, a: FB.step_mono_external(c, s, a, True))
+
+    def body(carry, _):
+        st, obs = carry
+        masks = FB.monolith_action_masks(cfg, st)
+        logits = mlp.masked_logits(mlp.policy_logits(params, obs), masks)
+        actions = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        st, out = stepped(st, actions)
+        return (st, out.obs), out.reward.sum()
+
+    obs0 = FB.get_mono_obs(cfg, st)
+    run = jax.jit(lambda c: lax.scan(body, c, None, length=N_STEPS))
+    return _time(lambda c: run(c)[1], (st, obs0), N_ENVS * N_STEPS)
+
+
+def bench_train_iteration(cfg):
+    """Full PPO iteration (rollout + GAE + update) throughput."""
+    from marl_sortingenv_tpu.learn import ppo
+
+    pcfg = ppo.PPOConfig(n_steps=TRAIN_N_STEPS, batch_size=TRAIN_BATCH,
+                         n_epochs=TRAIN_EPOCHS)
+    spec = ppo.spec_for("mono", engine="fastb")
+    ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=N_ENVS, seed=0)
+    it = ppo.make_train_iteration(cfg, pcfg, spec)
+
+    def run(ts):
+        ts, stats = it(ts)
+        return ts, stats["loss"]
+
+    ts, loss = run(ts)           # compile + warmup
+    jax.block_until_ready(loss)
+    steps_per_iter = N_ENVS * TRAIN_N_STEPS
+    best_sps, best_ups = 0.0, 0.0
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        st, r = run(st)
-        jax.block_until_ready(r)
+        ts, loss = run(ts)
+        jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
-        best = max(best, N_ENVS * N_STEPS / dt)
+        best_sps = max(best_sps, steps_per_iter / dt)
+        best_ups = max(best_ups, 1.0 / dt)
+    assert np.isfinite(float(loss))
+    return best_sps, best_ups
+
+
+def bench_protocol(cfg):
+    """Wall-clock for the reference training protocol: 3-stage flow
+    (sort -> press[frozen sort] -> mono), 100k timesteps each
+    (reference main.py:47-52; the reference's CPU SB3 takes minutes per
+    stage).  The flow's closing 5-policy benchmark is excluded — it runs
+    on the f64 parity engine, which is CPU territory."""
+    from marl_sortingenv_tpu.learn import trainer
+
+    t0 = time.perf_counter()
+    sort_res = trainer.train_agent(
+        cfg, "sort", 100_000, n_envs=16, use_action_masking=True,
+        models_dir="/tmp/bench_models", verbose=False)
+    trainer.train_agent(
+        cfg, "press", 100_000, n_envs=16, use_action_masking=True,
+        sort_params=sort_res.params, models_dir="/tmp/bench_models",
+        verbose=False)
+    trainer.train_agent(
+        cfg, "mono", 100_000, n_envs=16, use_action_masking=True,
+        models_dir="/tmp/bench_models", verbose=False)
+    return time.perf_counter() - t0
+
+
+def main():
+    cfg = load_config()
+    rule = bench_mono_rule(cfg)
+    fused = bench_fused_policy(cfg)
+    train_sps, train_ups = bench_train_iteration(cfg)
+
+    extra = {
+        "fused_policy_env_steps_per_sec": round(fused, 1),
+        "train_iter_env_steps_per_sec": round(train_sps, 1),
+        "train_iter_updates_per_sec": round(train_ups, 4),
+        "train_iter_config": {
+            "n_envs": N_ENVS, "n_steps": TRAIN_N_STEPS,
+            "batch_size": TRAIN_BATCH, "n_epochs": TRAIN_EPOCHS},
+    }
+    if "--protocol" in sys.argv:
+        extra["protocol_3stage_100k_wall_s"] = round(bench_protocol(cfg), 1)
 
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_mono4096",
-        "value": round(best, 1),
+        "value": round(rule, 1),
         "unit": "env_steps_per_sec",
-        "vs_baseline": round(best / BASELINE, 4),
+        "vs_baseline": round(rule / BASELINE, 4),
+        "extra": extra,
     }))
 
 

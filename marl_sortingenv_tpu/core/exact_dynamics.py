@@ -366,6 +366,14 @@ def _press_tab_exact(cfg: SimConfig):
     # the exact engine supports the reference's 0.5 exactly (an exponent
     # decrement); any other value would need a general sf multiply
     assert cfg.max_state_reward == 0.5, "exact press reward needs msr=0.5"
+    # the exact path keys the penalty early-return / flag-keep on overflow
+    # *presence* and prefers the severe constant — equivalent to the
+    # reference's max_penalty<0 + min() accumulation only when the
+    # penalties are ordered and negative (env_super.py:1011-1030)
+    assert (cfg.overflow_penalty_catastrophic
+            <= cfg.overflow_penalty_severe
+            <= cfg.overflow_penalty_mild < 0), (
+        "exact press reward requires catastrophic <= severe <= mild < 0")
     t = RT.build_press_table(cfg)
 
     def const(v):

@@ -51,6 +51,21 @@ _HG_SUPPORT = 104  # >= max draw (input_batch_size=100) + slack; the
 # so keep it as tight as the dynamics allow
 
 
+def _check_support(cfg: SimConfig) -> None:
+    """Guard the fixed-support assumption (same bound as
+    fastb._support_for): the pmf support must cover the largest possible
+    false-unit count, else sampling would silently truncate."""
+    bs = cfg.input_batch_size
+    max_target = int(0.40 * bs) + 4
+    min_acc = max(0.0, min(cfg.baseline_accuracy) - cfg.effective_noise)
+    max_false = int(max_target * (1.0 - min_acc) + 0.5) + 1
+    if max_false + 2 > _HG_SUPPORT:
+        raise ValueError(
+            f"hypergeometric support bound {max_false + 2} exceeds the "
+            f"fast engine cap {_HG_SUPPORT}: config is outside the "
+            "sampling domain (input_batch_size/baseline_accuracy/noise)")
+
+
 class FastEnvState(NamedTuple):
     input_counts: jax.Array   # i32[4]
     belt_counts: jax.Array    # i32[4]
@@ -91,6 +106,7 @@ class FastStepOut(NamedTuple):
 
 def reset(cfg: SimConfig, key) -> FastEnvState:
     """Fresh instance state from a threefry key (vmap over keys to batch)."""
+    _check_support(cfg)
     key, k1 = jax.random.split(key)
     first = jax.random.bernoulli(k1).astype(I32)
 
@@ -132,9 +148,6 @@ def reset_batch(cfg: SimConfig, key, n: int) -> FastEnvState:
 # ---------------------------------------------------------------------------
 # Sampling helpers
 # ---------------------------------------------------------------------------
-
-_LANE_IDX = None
-
 
 def _prefix_sum(x):
     """Inclusive prefix sum along the last axis via Hillis-Steele doubling

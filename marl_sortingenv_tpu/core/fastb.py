@@ -59,7 +59,15 @@ def _support_for(cfg: SimConfig) -> int:
     min_acc = max(0.0, min(cfg.baseline_accuracy) - cfg.effective_noise)
     max_false = int(max_target * (1.0 - min_acc) + 0.5) + 1
     s = max(8, -(-(max_false + 2) // 8) * 8)
-    return min(s, _HG_SUPPORT)
+    if s > _HG_SUPPORT:
+        raise ValueError(
+            f"hypergeometric support {s} exceeds the engine cap "
+            f"{_HG_SUPPORT}: config (input_batch_size="
+            f"{cfg.input_batch_size}, min baseline_accuracy - noise = "
+            f"{min_acc:.3f}) is outside the fast engines' sampling "
+            "domain; truncating the pmf would silently corrupt the "
+            "distribution")
+    return s
 
 
 class BState(NamedTuple):

@@ -79,13 +79,10 @@ def build_sorting_table(cfg: SimConfig) -> SortingRewardTable:
     theta = np.float64(cfg.purity_threshold_theta)
     grid = _purity_grid()
 
-    # per-material reachable purity values: grid plus the empty-container
-    # default (bale_quality_thresholds[mat], env_super.py:786-789)
-    thr = np.float64(cfg.quality_threshold)
-    pvals = np.unique(np.concatenate([grid, np.array([thr])]))
-    diffs = pvals - theta                       # exact f64 subtract
     # cents index: the exact engine addresses materials by purity cents;
-    # the threshold is required to land on the grid for the cent path
+    # the empty-container default (bale_quality_thresholds[mat],
+    # env_super.py:786-789) must land on the grid for the cent path
+    thr = np.float64(cfg.quality_threshold)
     assert thr in grid, "non-grid quality threshold: exact path unsupported"
     dcents = grid - theta                       # [101], index = cents
 

@@ -105,16 +105,35 @@ class _EnvBase(gym.Env):
     def reset(self, seed=None, options=None):
         if seed is not None:
             self.seed_value = seed
-        self.state = S.reset(self.config, self.seed_value if seed is not None
-                             else self.seed_value)
-        if seed is None:
-            # reference reset(seed=None) keeps streams; our host wrapper
-            # reuses the current streams by resetting only plant state
+            self.state = S.reset(self.config, seed)
+        else:
+            # reference reset(seed=None) keeps the live RNG streams and
+            # re-seeds only the input generator (env_super.py:375-378);
+            # autoreset resets plant state on the *current* streams, so
+            # consecutive unseeded episodes differ (deterministically —
+            # see core/wrappers docstring) while reset(seed=k) replays.
             from .core.wrappers import autoreset
 
             self.state = autoreset(self.config, self.state)
         self._reset_logs()
         return np.asarray(self.get_obs()), {}
+
+    def _step_with_overflow(self, step_fn, action):
+        """``step(check_overflow=True)`` path, routed through
+        ``core.wrappers.with_overflow_termination`` (reference
+        env_1_sort.py:133-142, env_2_press.py:145-153,
+        env_monolith.py:265-272): overflow after the step terminates the
+        episode with ``overflow_termination_penalty`` and overflow info."""
+        from .core import wrappers as W
+
+        stepped = W.with_overflow_termination(self.config, step_fn, self.name)
+        self.state, out = stepped(self.state, action)
+        extra = {}
+        if bool(np.asarray(out.terminated)):
+            over, mat = self.detect_overflow()
+            if over:
+                extra = {"overflow": True, "overflow_material": mat}
+        return out, extra
 
     def _reset_logs(self):
         self.reward_data = {
@@ -237,11 +256,13 @@ class _EnvBase(gym.Env):
                  log_dir=log_dir, filename=filename, title=title, fmt=format,
                  checksum=checksum, seed=self.seed_value)
 
-    def _finish_step(self, out):
+    def _finish_step(self, out, extra_info=None):
         self._log(out)
         obs = np.asarray(out.obs)
-        return (obs, float(out.reward), bool(out.terminated), False,
-                {"action": int(out.action)})
+        info = {"action": int(out.action)}
+        if extra_info:
+            info.update(extra_info)
+        return (obs, float(out.reward), bool(out.terminated), False, info)
 
 
 class Env_1_Sorting(_EnvBase):
@@ -271,17 +292,11 @@ class Env_1_Sorting(_EnvBase):
 
     def step(self, action=None, use_action_masking=True,
              check_overflow=False):
-        self.state, out = ST.step_sort(self.config, self.state,
-                                       jnp.int32(int(action)))
+        act = jnp.int32(int(action))
         if check_overflow:
-            from .core import wrappers as W
-
-            # behavioral overflow termination (see wrappers docstring)
-            over = bool(np.asarray(D.detect_overflow(self.config, self.state)))
-            if over:
-                out = out._replace(
-                    reward=jnp.float64(self.config.overflow_termination_penalty),
-                    terminated=jnp.asarray(True))
+            out, extra = self._step_with_overflow(ST.step_sort, act)
+            return self._finish_step(out, extra)
+        self.state, out = ST.step_sort(self.config, self.state, act)
         return self._finish_step(out)
 
 
@@ -313,9 +328,15 @@ class Env_2_Pressing(_EnvBase):
     def step(self, action, use_action_masking=True, check_overflow=False):
         sp = None if self.sort_agent is None else (
             mlp.policy_logits, self.sort_agent)
-        self.state, out = ST.step_press(
-            self.config, self.state, jnp.int32(int(action)), sp,
-            use_action_masking)
+        act = jnp.int32(int(action))
+
+        def fn(c, s, a):
+            return ST.step_press(c, s, a, sp, use_action_masking)
+
+        if check_overflow:
+            out, extra = self._step_with_overflow(fn, act)
+            return self._finish_step(out, extra)
+        self.state, out = fn(self.config, self.state, act)
         return self._finish_step(out)
 
 
@@ -360,27 +381,38 @@ class Env_3_Monolith(_EnvBase):
     def step(self, action=None, mode=None, use_action_masking=True,
              check_overflow=False):
         cfg = self.config
+        act = jnp.int32(int(action) if action is not None else 0)
         if action is not None:
-            self.state, out = ST.step_mono_external(
-                cfg, self.state, jnp.int32(int(action)), use_action_masking)
+            def fn(c, s, a):
+                return ST.step_mono_external(c, s, a, use_action_masking)
         elif self.mono_agent is not None:
-            self.state, out = ST.step_mono_agent(
-                cfg, self.state, self.mono_agent, mlp.policy_logits,
-                use_action_masking)
+            def fn(c, s, a):
+                return ST.step_mono_agent(
+                    c, s, self.mono_agent, mlp.policy_logits,
+                    use_action_masking)
         elif mode == "random":
-            self.state, self._legacy, out = ST.step_mono_legacy_random(
-                cfg, self.state, self._legacy, use_action_masking)
+            def fn(c, s, a):
+                s, self._legacy, out = ST.step_mono_legacy_random(
+                    c, s, self._legacy, use_action_masking)
+                return s, out
         elif mode == "rule_based":
-            self.state, out = ST.step_mono_rule(cfg, self.state)
+            def fn(c, s, a):
+                return ST.step_mono_rule(c, s)
         elif mode == "model":
             sp = None if self.sort_agent is None else (
                 mlp.policy_logits, self.sort_agent)
             pp = None if self.press_agent is None else (
                 mlp.policy_logits, self.press_agent)
-            self.state, out = ST.step_mono_model(
-                cfg, self.state, sp, pp, use_action_masking, True)
+
+            def fn(c, s, a):
+                return ST.step_mono_model(c, s, sp, pp,
+                                          use_action_masking, True)
         else:
             raise ValueError(
                 "Invalid action source: Provide 'action', set 'mode' to "
                 "'random', 'rule_based', or 'model', or assign a mono_agent.")
+        if check_overflow:
+            out, extra = self._step_with_overflow(fn, act)
+            return self._finish_step(out, extra)
+        self.state, out = fn(cfg, self.state, act)
         return self._finish_step(out)

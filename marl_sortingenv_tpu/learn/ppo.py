@@ -404,7 +404,7 @@ def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
         key = jax.random.PRNGKey(0)
 
     def body(carry, _):
-        env_state, obs, key, total = carry
+        env_state, obs, key, total, alive = carry
         logits = mlp.policy_logits(params, obs)
         if use_action_masking:
             # SB3 predict receives the mask only when masking is enabled
@@ -417,10 +417,17 @@ def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
             key, sk = jax.random.split(key)
             action = jax.random.categorical(sk, logits).astype(jnp.int32)
         env_state, out = batched(env_state, action)
-        return (env_state, out.obs, key, total + out.reward), None
+        # accumulate only up to (and including) the first terminal step:
+        # episodes here run without autoreset, so if a variant ever
+        # terminates early (e.g. overflow termination) post-terminal
+        # rewards must not count toward the episode return
+        total = total + out.reward * alive.astype(total.dtype)
+        alive = alive & ~out.terminated
+        return (env_state, out.obs, key, total, alive), None
 
     acc_dtype = jnp.float64 if spec.engine == "parity" else jnp.float32
-    (env_state, obs, key, total), _ = jax.jit(
+    (env_state, obs, key, total, _), _ = jax.jit(
         lambda c: lax.scan(body, c, None, length=n_steps))(
-            (env_state, obs, key, jnp.zeros(n_envs, acc_dtype)))
+            (env_state, obs, key, jnp.zeros(n_envs, acc_dtype),
+             jnp.ones(n_envs, bool)))
     return total

@@ -58,6 +58,10 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
     spec = ppo.spec_for(variant, engine=engine)
     masking = use_action_masking and spec.use_mask
 
+    if tuned and pcfg is not None:
+        raise ValueError(
+            "pass either tuned=True or an explicit pcfg, not both — "
+            "tuned only selects the preset when pcfg is None")
     if pcfg is None:
         # SB3 collects 2048 samples per iteration on 1 env and updates in
         # minibatches of 64.  Preserving that *cadence* matters for

@@ -133,8 +133,6 @@ def plot_env(cfg, series, state, save=False, show=False,
     ax8.set_title("Container contents (final)")
 
     # 9: press timers (pies)
-    for k, ax in [(0, ax9)]:
-        pass
     timers = np.asarray(state.press_timer)
     times = [cfg.press_time_1, cfg.press_time_2]
     ax9.set_title("Press timers")

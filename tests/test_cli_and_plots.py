@@ -31,6 +31,10 @@ def test_plot_benchmark(tmp_path):
 def test_analysis_figures(tmp_path):
     cfg = load_config()
     paths = analysis.run_env_analysis(cfg, str(tmp_path))
+    assert len(paths) == 5  # incl. occupancy sweep + deviation samples
+    names = {os.path.basename(p) for p in paths}
+    assert "accuracy_occupancy_sweep.png" in names
+    assert "reward_vs_deviation.png" in names
     for p in paths:
         assert os.path.exists(p)
 
