@@ -1,0 +1,42 @@
+"""Generate artifacts/engine_drift.json: the 5-policy benchmark protocol
+run on all three engines (parity bit-exact vs fast/fastb threefry
+distributions) with the round-1 tuned agents — the VERDICT round-2
+cross-engine drift table.  Run on CPU (parity engine needs IEEE f64):
+
+    JAX_PLATFORMS=cpu python artifacts/engine_drift.py
+"""
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from marl_sortingenv_tpu.config.config import load_config
+from marl_sortingenv_tpu.eval import harness
+from marl_sortingenv_tpu.models import mlp
+from marl_sortingenv_tpu.utils.checkpoint import load_model
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+cfg = load_config()
+sp = load_model(os.path.join(HERE, "models_tuned/PPO_Sorting_Tuned_100000.npz"),
+                mlp.init_params(jax.random.PRNGKey(0), 13, 2))
+pp = load_model(os.path.join(HERE, "models_tuned/PPO_Pressing_Tuned_100000.npz"),
+                mlp.init_params(jax.random.PRNGKey(0), 16, 11))
+mp = load_model(os.path.join(HERE, "models_tuned/PPO_Monolith_Tuned_100000.npz"),
+                mlp.init_params(jax.random.PRNGKey(0), 29, 22))
+
+table = harness.compare_engine_drift(
+    cfg, num_seeds=10, steps=200, sort_params=sp, press_params=pp,
+    mono_params=mp, use_action_masking=True)
+
+out = os.path.join(HERE, "engine_drift.json")
+with open(out, "w") as f:
+    json.dump(table, f, indent=2)
+print(json.dumps(table, indent=2))

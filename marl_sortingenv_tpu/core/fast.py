@@ -628,6 +628,87 @@ def step_mono_rule(cfg: SimConfig, st: FastEnvState):
     return st, FastStepOut(obs, sr + pr, terminated, flat, sr, pr, purity)
 
 
+def step_mono_model(cfg: SimConfig, st: FastEnvState, sort_policy=None,
+                    press_policy=None, use_action_masking: bool = True):
+    """Per-env counterpart of fastb.step_mono_model (reference mode='model',
+    env_monolith.py:186-222): deterministic modular predictions on the
+    post-update pre-sort state, random fallbacks from the threefry key."""
+    st = _update_environment(cfg, st)
+
+    def draw(logits):
+        nonlocal st
+        key, sk = jax.random.split(st.key)
+        st = st._replace(key=key)
+        return jax.random.categorical(sk, logits).astype(I32)
+
+    if sort_policy is not None:
+        apply_fn, params = sort_policy
+        sort_mode = jnp.argmax(apply_fn(params, get_sort_obs(cfg, st)),
+                               axis=-1).astype(I32)
+    else:
+        sort_mode = draw(jnp.zeros(2, F32))
+    if press_policy is not None:
+        apply_fn, params = press_policy
+        logits = apply_fn(params, get_press_obs(cfg, st))
+        if use_action_masking:
+            logits = jnp.where(press_action_masks(cfg, st), logits,
+                               -jnp.inf)
+        press_disc = jnp.argmax(logits, axis=-1).astype(I32)
+    elif use_action_masking:
+        press_disc = draw(
+            jnp.where(press_action_masks(cfg, st), 0.0, -jnp.inf))
+    else:
+        press_disc = draw(jnp.zeros(11, F32))
+    a_flat = sort_mode * 11 + press_disc
+
+    purity, st = _apply_sort(cfg, st, sort_mode)
+    press_id = jnp.where(press_disc == 0, 0,
+                         jnp.where(press_disc <= 5, 1, 2)).astype(I32)
+    mat = jnp.where(press_disc == 0, 0, (press_disc - 1) % 5).astype(I32)
+    if not use_action_masking:
+        valid = _validate_press(cfg, st, press_id, mat)
+        press_id = jnp.where(valid, press_id, 0).astype(I32)
+        mat = jnp.where(valid, mat, 0).astype(I32)
+    st = _press_action_rules(cfg, st, press_id, mat)
+    sr = _sorting_reward(cfg, st)
+    pr, st = _press_reward(cfg, st)
+    obs = get_mono_obs(cfg, st)
+    st, terminated = _finish(cfg, st)
+    return st, FastStepOut(obs, sr + pr, terminated, a_flat, sr, pr, purity)
+
+
+def step_mono_random(cfg: SimConfig, st: FastEnvState,
+                     use_action_masking: bool = True):
+    """Per-env counterpart of fastb.step_mono_random (reference
+    mode='random', env_monolith.py:152-164; threefry, not the legacy
+    MT19937 — distribution-equivalent only)."""
+    st = _update_environment(cfg, st)
+    key, sk = jax.random.split(st.key)
+    st = st._replace(key=key)
+    if use_action_masking:
+        mask = monolith_action_masks(cfg, st)
+        a = jax.random.categorical(
+            sk, jnp.where(mask, 0.0, -jnp.inf)).astype(I32)
+    else:
+        a = jax.random.categorical(sk, jnp.zeros(22, F32)).astype(I32)
+    sort_mode = a // 11
+    press_disc = a % 11
+    purity, st = _apply_sort(cfg, st, sort_mode)
+    press_id = jnp.where(press_disc == 0, 0,
+                         jnp.where(press_disc <= 5, 1, 2)).astype(I32)
+    mat = jnp.where(press_disc == 0, 0, (press_disc - 1) % 5).astype(I32)
+    if not use_action_masking:
+        valid = _validate_press(cfg, st, press_id, mat)
+        press_id = jnp.where(valid, press_id, 0).astype(I32)
+        mat = jnp.where(valid, mat, 0).astype(I32)
+    st = _press_action_rules(cfg, st, press_id, mat)
+    sr = _sorting_reward(cfg, st)
+    pr, st = _press_reward(cfg, st)
+    obs = get_mono_obs(cfg, st)
+    st, terminated = _finish(cfg, st)
+    return st, FastStepOut(obs, sr + pr, terminated, a, sr, pr, purity)
+
+
 def autoreset(cfg: SimConfig, st: FastEnvState) -> FastEnvState:
     fresh = reset(cfg, st.key)
     return fresh._replace(total_input_units=jnp.zeros((), I32))

@@ -706,6 +706,95 @@ def step_mono_rule(cfg: SimConfig, st: BState, action=None):
     return st, BStepOut(obs, sr + pr, terminated, flat, sr, pr, purity)
 
 
+def step_mono_model(cfg: SimConfig, st: BState, sort_policy=None,
+                    press_policy=None, use_action_masking: bool = True):
+    """Reference mode='model' path (env_monolith.py:186-222): modular
+    agents predict deterministically on the post-update, *pre-sort*
+    state; a missing sort agent falls back to a random mode, a missing
+    press agent to a random masked (or uniform-11) press.  Threefry in
+    place of the reference's PCG64 streams — distribution-equivalent
+    counterpart of core.step.step_mono_model."""
+    st = _update_environment(cfg, st)
+    n = st.current_step.shape[0]
+
+    def draw(logits):
+        nonlocal st
+        ks = _vsplit(st.key)
+        st = st._replace(key=ks[:, 0])
+        return _vcategorical(ks[:, 1], logits).astype(I32)
+
+    # Block A: sorting action (env_monolith.py:189-195)
+    if sort_policy is not None:
+        apply_fn, params = sort_policy
+        sort_mode = jnp.argmax(apply_fn(params, get_sort_obs(cfg, st)),
+                               axis=-1).astype(I32)
+    else:
+        sort_mode = draw(jnp.zeros((n, 2), F32))
+    # Block B: pressing action on the pre-sort obs/mask (:197-221)
+    if press_policy is not None:
+        apply_fn, params = press_policy
+        logits = apply_fn(params, get_press_obs(cfg, st))
+        if use_action_masking:
+            logits = jnp.where(press_action_masks(cfg, st), logits,
+                               -jnp.inf)
+        press_disc = jnp.argmax(logits, axis=-1).astype(I32)
+    elif use_action_masking:
+        press_disc = draw(
+            jnp.where(press_action_masks(cfg, st), 0.0, -jnp.inf))
+    else:
+        press_disc = draw(jnp.zeros((n, 11), F32))
+    a_flat = sort_mode * 11 + press_disc
+
+    purity, st = _apply_sort(cfg, st, sort_mode)
+    press_id = jnp.where(press_disc == 0, 0,
+                         jnp.where(press_disc <= 5, 1, 2)).astype(I32)
+    mat = jnp.where(press_disc == 0, 0, (press_disc - 1) % 5).astype(I32)
+    if not use_action_masking:
+        valid = _validate_press(cfg, st, press_id, mat)
+        press_id = jnp.where(valid, press_id, 0).astype(I32)
+        mat = jnp.where(valid, mat, 0).astype(I32)
+    st = _press_action_rules(cfg, st, press_id, mat)
+    sr = _sorting_reward(cfg, st)
+    pr, st = _press_reward(cfg, st)
+    obs = get_mono_obs(cfg, st)
+    st, terminated = _finish(cfg, st)
+    return st, BStepOut(obs, sr + pr, terminated, a_flat, sr, pr, purity)
+
+
+def step_mono_random(cfg: SimConfig, st: BState,
+                     use_action_masking: bool = True):
+    """Reference mode='random' (env_monolith.py:152-164) with threefry in
+    place of the legacy global MT19937 — distribution-equivalent (the
+    bit-exact legacy stream lives in core.step.step_mono_legacy_random).
+    Unmasked invalid presses become no-ops (timers still tick)."""
+    st = _update_environment(cfg, st)
+    n = st.current_step.shape[0]
+    ks = _vsplit(st.key)
+    st = st._replace(key=ks[:, 0])
+    if use_action_masking:
+        mask = monolith_action_masks(cfg, st)
+        a = _vcategorical(ks[:, 1],
+                          jnp.where(mask, 0.0, -jnp.inf)).astype(I32)
+    else:
+        a = _vcategorical(ks[:, 1], jnp.zeros((n, 22), F32)).astype(I32)
+    sort_mode = a // 11
+    press_disc = a % 11
+    purity, st = _apply_sort(cfg, st, sort_mode)
+    press_id = jnp.where(press_disc == 0, 0,
+                         jnp.where(press_disc <= 5, 1, 2)).astype(I32)
+    mat = jnp.where(press_disc == 0, 0, (press_disc - 1) % 5).astype(I32)
+    if not use_action_masking:
+        valid = _validate_press(cfg, st, press_id, mat)
+        press_id = jnp.where(valid, press_id, 0).astype(I32)
+        mat = jnp.where(valid, mat, 0).astype(I32)
+    st = _press_action_rules(cfg, st, press_id, mat)
+    sr = _sorting_reward(cfg, st)
+    pr, st = _press_reward(cfg, st)
+    obs = get_mono_obs(cfg, st)
+    st, terminated = _finish(cfg, st)
+    return st, BStepOut(obs, sr + pr, terminated, a, sr, pr, purity)
+
+
 def autoreset(cfg: SimConfig, st: BState) -> BState:
     fresh = _reset_from_keys(cfg, st.key)
     return fresh._replace(

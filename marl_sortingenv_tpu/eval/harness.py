@@ -183,6 +183,106 @@ def benchmark_seed_all(cfg: SimConfig, seed: int, steps: int,
     return res
 
 
+def run_engine_benchmark(cfg: SimConfig, engine: str = "fastb",
+                         num_episodes: int = 10, steps: int = 200,
+                         sort_params=None, press_params=None,
+                         mono_params=None, use_action_masking: bool = True,
+                         include_random: bool = True, seed0: int = 1):
+    """The 5-policy protocol on a fast engine (``fast`` or ``fastb``) —
+    a distribution-level cross-check of engine drift against the
+    bit-exact parity numbers from :func:`run_model_benchmark`.
+
+    The fast engines use threefry streams, so per-seed values are not
+    comparable to the reference seed-for-seed; the mean/std over
+    ``num_episodes`` lockstep instances is.  Returns the same
+    ``{policy: {mean, std}}`` summary shape."""
+    from ..core import fast as FE
+    from ..core import fastb as FB
+
+    mod = {"fast": FE, "fastb": FB}[engine]
+    sp = None if sort_params is None else (mlp.policy_logits, sort_params)
+    pp = None if press_params is None else (mlp.policy_logits, press_params)
+
+    def batched(fn):
+        if engine == "fastb":
+            return fn
+        return jax.vmap(fn)
+
+    def episode_totals(step_batch, with_obs_policy=None):
+        st = mod.reset_batch(cfg, jax.random.PRNGKey(seed0), num_episodes)
+
+        if with_obs_policy is None:
+            def body(st, _):
+                st, out = step_batch(st)
+                return st, out.reward
+            _, rewards = jax.jit(
+                lambda st: lax.scan(body, st, None, length=steps))(st)
+        else:
+            obs0 = batched(lambda s: mod.get_mono_obs(cfg, s))(st) \
+                if engine == "fast" else mod.get_mono_obs(cfg, st)
+
+            def body(carry, _):
+                st, obs = carry
+                logits = mlp.policy_logits(with_obs_policy, obs)
+                if use_action_masking:
+                    mask = (batched(
+                        lambda s: mod.monolith_action_masks(cfg, s))(st)
+                        if engine == "fast"
+                        else mod.monolith_action_masks(cfg, st))
+                    logits = mlp.masked_logits(logits, mask)
+                a = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                st, out = step_batch(st, a)
+                return (st, out.obs), out.reward
+            (_, _), rewards = jax.jit(
+                lambda c: lax.scan(body, c, None, length=steps))((st, obs0))
+        return np.asarray(rewards, np.float64).sum(axis=0)
+
+    summary = {}
+
+    def put(key, totals):
+        summary[key] = {"mean": float(totals.mean()),
+                        "std": float(totals.std())}
+
+    if include_random:
+        put("Random", episode_totals(batched(
+            lambda s: mod.step_mono_random(cfg, s, use_action_masking))))
+    put("Rule-Based", episode_totals(batched(
+        lambda s: mod.step_mono_rule(cfg, s))))
+    put("PPO Sort-Only", episode_totals(batched(
+        lambda s: mod.step_mono_model(cfg, s, sp, None,
+                                      use_action_masking))))
+    put("PPO Modular", episode_totals(batched(
+        lambda s: mod.step_mono_model(cfg, s, sp, pp, use_action_masking))))
+    if mono_params is not None:
+        put("PPO Monolith", episode_totals(
+            batched(lambda s, a: mod.step_mono_external(
+                cfg, s, a, use_action_masking)),
+            with_obs_policy=mono_params))
+    return summary
+
+
+def compare_engine_drift(cfg: SimConfig, num_seeds: int = 10,
+                         steps: int = 200, sort_params=None,
+                         press_params=None, mono_params=None,
+                         use_action_masking: bool = True,
+                         engines=("fast", "fastb")):
+    """One table: parity-engine benchmark (bit-exact protocol) vs each
+    fast engine's distribution — the VERDICT round-2 cross-engine check.
+    Returns {engine: {policy: {mean, std}}} with 'parity' included."""
+    parity, _ = run_model_benchmark(
+        cfg, num_seeds=num_seeds, steps=steps, sort_params=sort_params,
+        press_params=press_params, mono_params=mono_params,
+        use_action_masking=use_action_masking)
+    table = {"parity": parity}
+    for eng in engines:
+        table[eng] = run_engine_benchmark(
+            cfg, engine=eng, num_episodes=num_seeds, steps=steps,
+            sort_params=sort_params, press_params=press_params,
+            mono_params=mono_params,
+            use_action_masking=use_action_masking)
+    return table
+
+
 def run_model_benchmark(cfg: SimConfig, num_seeds: int = 10, steps: int = 200,
                         sort_params=None, press_params=None, mono_params=None,
                         use_action_masking: bool = True,
