@@ -264,3 +264,59 @@ def sf_to_f32(x: "SF") -> float:
         q = 1 << 23
         return math.ldexp(q, x.e + drop + 1)
     return math.ldexp(q, x.e + drop)
+
+
+# ---------------------------------------------------------------------------
+# noise > 0 extension: general multiply, exact next_double, Python round.
+# Needed for the reference's accuracy-noise path (env_super.py:492-509:
+# ``uniform(-noise, +noise, 4)`` and ``int(round(target * acc))`` with
+# arbitrary f64 accuracies).
+# ---------------------------------------------------------------------------
+
+
+def sf_mul(x: SF, y: SF) -> SF:
+    """Correctly-rounded f64 multiply (non-negative operands)."""
+    if x.m == 0 or y.m == 0:
+        return sf_zero()
+    p = x.m * y.m  # in [2^104, 2^106)
+    shift = p.bit_length() - 53  # 52 or 53
+    q = p >> shift
+    rem = p - (q << shift)
+    q = _round_half_even(q, 2 * rem, 1 << shift)
+    e = x.e + y.e + shift
+    if q == MHIGH:
+        q = MLOW
+        e += 1
+    return SF(q, e)
+
+
+def sf_from_int(t: int) -> SF:
+    """Exact SF of a non-negative integer < 2^53."""
+    if t == 0:
+        return sf_zero()
+    sh = 53 - t.bit_length()
+    return SF(t << sh, -sh)
+
+
+def sf_from_u53(u: int) -> SF:
+    """Exact SF of u * 2^-53 for u in [0, 2^53) — ``next_double``'s value
+    ((raw >> 11) * 2^-53, numpy/random/src distributions)."""
+    if u == 0:
+        return sf_zero()
+    sh = 53 - u.bit_length()
+    return SF(u << sh, -sh - 53)
+
+
+def sf_round_int(x: SF) -> int:
+    """Python ``round(value(x))`` -> int: half-to-even on the f64 value
+    (non-negative; the sorting split's outer round, env_super.py:539)."""
+    if x.m == 0:
+        return 0
+    if x.e >= 0:
+        return x.m << x.e
+    s = -x.e
+    if s > 54:
+        return 0  # value < 2^-1: rounds to 0 (tie at 1/2 -> even 0 too)
+    q = x.m >> s
+    rem = x.m - (q << s)
+    return _round_half_even(q, 2 * rem, 1 << s)

@@ -4,12 +4,20 @@ hardware f64 (docs/EXACT32_DESIGN.md).
 Reuses the parity engine's state machine (``dynamics.py`` — integer
 plant, PCG64 streams) and replaces every computation whose result depends
 on *hardware* f64 rounding with the integer soft-float kernel
-(``softfloat.py``), valid for the reference benchmark configuration
-``noise_sorting = 0`` (main.py:42):
+(``softfloat.py``).  Covers both the benchmark configuration
+``noise_sorting = 0`` (main.py:42) and the reference DEFAULT
+``noise = 0.05`` (config.yml:18, drawn at env_super.py:508):
 
 * ``choice(p=...)`` in the redistribution loop -> soft-float cdf pipeline
 * the sorting true/false split -> exact banker's rounding of ``t*3/4``
-  (accuracies are exactly {0.75, 1.0} at noise 0)
+  at noise 0 (accuracies exactly {0.75, 1.0}); at noise > 0 the full
+  ``int(round(target * acc))`` via soft-float mul + half-even round
+* the accuracy noise draw ``uniform(-n, +n, 4)`` (noise > 0) ->
+  ``low + (high-low) * next_double`` with NumPy's separate mul/add
+  roundings, then ``clip(base + noise, 0, 1)`` — all in integers; the
+  exact f64 accuracies are carried as IEEE bit patterns in
+  ``acc_belt_bits``/``acc_sorter_bits`` (TPU f64 is ~49-bit and cannot
+  store them)
 * occupancy / purity / quality round2 -> integer cents
 * observations -> exact f32 from cents tables and soft-float divisions
 
@@ -58,6 +66,20 @@ _T15 = jnp.asarray((np.arange(16, dtype=np.float64) / 15.0
 # purity diffs: cents-90 in [-90, 10] -> f32((k-90)/100): reuse _T100 via
 # sign split (f32(-x) == -f32(x) exactly)
 
+# powers of two for the non-authoritative f64 view of soft-float values:
+# jnp.ldexp's f64 frexp lowers to a 64-bit bitcast the TPU X64 rewriter
+# rejects, so scale by an exact host-built 2^e table instead (exact on
+# CPU; the TPU's ~49-bit f64 rounds the mantissa — view only).  Host
+# numpy at module scope; converted lazily so importing this module never
+# requires x64 (rng.require_x64 runs on first state creation).
+_POW2_NP = np.ldexp(1.0, np.arange(-70, -39))
+
+
+def _f64_view(m, e):
+    tab = jnp.asarray(_POW2_NP, jnp.float64)
+    idx = jnp.clip(e + I32(70), 0, tab.shape[0] - 1)
+    return m.astype(jnp.float64) * tab[idx]
+
 
 def _f32_cents(k):
     """f32 of k/100 from the table (k in [-500, 500], integer)."""
@@ -98,6 +120,15 @@ def _split_counts(cfg: SimConfig, target, boosted):
     return jnp.where(boosted, target, t075)
 
 
+def _split_counts_bits(target, acc_bits):
+    """true_val = int(round(target * acc)) for an arbitrary f64 accuracy
+    carried as IEEE bits (the noise > 0 sorting split, env_super.py:539):
+    exact int -> correctly-rounded f64 product -> Python half-even round,
+    all in integers."""
+    prod = SF.sf_mul(SF.sf_from_int(target), SF.sf_from_bits(acc_bits))
+    return SF.sf_round_int(prod).astype(I32)
+
+
 def sort_material_exact(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvState]:
     """Exact-mode sort_material: integer split + exact weighted choice.
     Mean purity returned as *cents* (i32)."""
@@ -108,12 +139,17 @@ def sort_material_exact(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvSta
     g = st.rng
     # the sorter runs on the DELAYED accuracies (acc_sorter = previous
     # step's acc_belt, env_super.py:457): at noise 0 these are exactly
-    # 0.75 (unboosted) or 1.0 (boosted+clipped)
+    # 0.75 (unboosted) or 1.0 (boosted+clipped); at noise > 0 the exact
+    # f64 values live in acc_sorter_bits
+    exact_noise = cfg.effective_noise != 0.0
     boost_mask = st.acc_sorter >= 0.875
 
     for i in range(4):
         target = leftover[i]
-        true_val = _split_counts(cfg, target, boost_mask[i])
+        if exact_noise:
+            true_val = _split_counts_bits(target, st.acc_sorter_bits[i])
+        else:
+            true_val = _split_counts(cfg, target, boost_mask[i])
         false_val = target - true_val
         true_arr = true_arr.at[i].set(true_val)
         false_arr = false_arr.at[i].set(false_val)
@@ -154,19 +190,96 @@ def sort_material_exact(cfg: SimConfig, st: EnvState) -> Tuple[jax.Array, EnvSta
     return purity_cents, st
 
 
+@functools.lru_cache(maxsize=8)
+def _acc_consts(cfg: SimConfig):
+    """Host constants for the accuracy-noise pipeline (numpy only — see
+    _sort_tab_exact's leaked-tracer note).  The reference builds
+    ``accuracies`` with Python float adds and ``high - low`` with a C
+    double subtraction (numpy Generator.uniform) — both replicated here
+    on the host, bit-exactly."""
+    from . import exact32_proto as P
+
+    n = float(cfg.effective_noise)
+    low = -n
+    rng2 = P.sf_from_float(n - low)
+
+    def sfs_const(v: float):
+        s = P.sf_from_float(abs(v))
+        sign = 0 if v == 0 else (1 if v > 0 else -1)
+        return (np.int32(sign), np.uint64(s.m), np.int32(s.e))
+
+    def clip_bits(v: float) -> np.uint64:
+        return np.float64(min(max(v, 0.0), 1.0)).view(np.uint64)
+
+    base = [float(b) for b in cfg.baseline_accuracy]
+    boosted = [b + float(cfg.boost) for b in base]
+    return (sfs_const(low), (np.uint64(rng2.m), np.int32(rng2.e)),
+            tuple(sfs_const(v) for v in base),
+            tuple(sfs_const(v) for v in boosted),
+            tuple(clip_bits(v) for v in base),
+            tuple(clip_bits(v) for v in boosted))
+
+
+def _boosted_mask(sensor_setting, i: int):
+    """Mode 0 boosts A & C (even stations), mode 1 boosts B & D
+    (env_super.py:492-505); any other mode boosts nothing."""
+    return jnp.where(sensor_setting == 0, (i % 2) == 0,
+                     jnp.where(sensor_setting == 1, (i % 2) == 1, False))
+
+
 def update_accuracy_exact(cfg: SimConfig, st: EnvState) -> EnvState:
-    """noise = 0: the 4 uniform draws are consumed (stream parity) but the
-    values are exactly 0; accuracies are {0.75, 1.0} after the clip."""
+    """Exact update_accuracy (env_super.py:492-509).
+
+    noise = 0: the 4 uniform draws are consumed (stream parity) but the
+    values are exactly 0; accuracies are {0.75, 1.0} after the clip.
+
+    noise > 0: each draw is ``low + (high-low) * next_double`` with
+    NumPy's separate mul/add roundings (rng.uniform), then
+    ``clip(acc + noise, 0, 1)`` — all in the integer soft-float kernel,
+    with the exact f64 values stored as IEEE bits in acc_belt_bits."""
     g = st.rng_noise
-    for _ in range(4):
-        _, g = R.next_uint64(g)
-    base = jnp.asarray(cfg.baseline_accuracy, jnp.float64)
-    boost_ac = jnp.array([cfg.boost, 0.0, cfg.boost, 0.0], jnp.float64)
-    boost_bd = jnp.array([0.0, cfg.boost, 0.0, cfg.boost], jnp.float64)
-    acc = base + jnp.where(st.sensor_setting == 0, boost_ac,
-                           jnp.where(st.sensor_setting == 1, boost_bd, 0.0))
-    acc = jnp.clip(acc, 0.0, 1.0)
-    return st._replace(acc_belt=acc, rng_noise=g)
+    (low_c, rng2_c, base_c, boost_c,
+     base_bits, boost_bits) = _acc_consts(cfg)
+
+    if cfg.effective_noise == 0.0:
+        for _ in range(4):
+            _, g = R.next_uint64(g)
+        base = jnp.asarray(cfg.baseline_accuracy, jnp.float64)
+        boost_ac = jnp.array([cfg.boost, 0.0, cfg.boost, 0.0], jnp.float64)
+        boost_bd = jnp.array([0.0, cfg.boost, 0.0, cfg.boost], jnp.float64)
+        acc = base + jnp.where(st.sensor_setting == 0, boost_ac,
+                               jnp.where(st.sensor_setting == 1, boost_bd, 0.0))
+        acc = jnp.clip(acc, 0.0, 1.0)
+        bits = jnp.stack([
+            jnp.where(_boosted_mask(st.sensor_setting, i),
+                      jnp.asarray(boost_bits[i]), jnp.asarray(base_bits[i]))
+            for i in range(4)])
+        return st._replace(acc_belt=acc, acc_belt_bits=bits, rng_noise=g)
+
+    low = SF.SFS(*map(jnp.asarray, low_c))
+    rng2 = SF.SFJ(jnp.asarray(rng2_c[0]), jnp.asarray(rng2_c[1]))
+    bits, f64v = [], []
+    for i in range(4):
+        raw, g = R.next_uint64(g)
+        d = SF.sf_from_u53(raw >> U64(11))
+        prod = SF.sf_mul(rng2, d)
+        noise_v = SF.sfs_add(low, SF.sfs_of(prod))
+        acc_c = _sfs_where(_boosted_mask(st.sensor_setting, i),
+                           SF.SFS(*map(jnp.asarray, boost_c[i])),
+                           SF.SFS(*map(jnp.asarray, base_c[i])))
+        acc = SF.sfs_add(acc_c, noise_v)
+        # np.clip(x, 0, 1): non-positive -> +0, above one -> 1.0
+        nonpos = acc.s <= 0
+        over = (acc.e > I32(-52)) | ((acc.e == I32(-52))
+                                     & (acc.m > jnp.asarray(SF.MLOW)))
+        m = jnp.where(nonpos, U64(0),
+                      jnp.where(over, jnp.asarray(SF.MLOW), acc.m))
+        e = jnp.where(nonpos, I32(0), jnp.where(over, I32(-52), acc.e))
+        bits.append(SF.sf_to_bits(SF.SFJ(m, e)))
+        # non-authoritative f64 view (exact on CPU, ~49-bit on TPU)
+        f64v.append(_f64_view(m, e))
+    return st._replace(acc_belt=jnp.stack(f64v),
+                       acc_belt_bits=jnp.stack(bits), rng_noise=g)
 
 
 def update_environment_exact(cfg: SimConfig, st: EnvState) -> EnvState:
@@ -183,6 +296,7 @@ def update_environment_exact(cfg: SimConfig, st: EnvState) -> EnvState:
         input_counts=counts,
         input_occupancy=occupancy_cents,
         acc_sorter=st.acc_belt,
+        acc_sorter_bits=st.acc_belt_bits,
         total_input_units=(st.total_input_units + counts.sum()).astype(I32),
     )
 
@@ -206,8 +320,14 @@ def get_sort_obs_exact(cfg: SimConfig, st: EnvState) -> jax.Array:
     props = jnp.where(total > 0, props, jnp.float32(0))
     diffs = _f32_cents(container_purity_cents(cfg, st) - I32(90))
     occ = _f32_cents(st.belt_occupancy.astype(I32))
-    obs = jnp.concatenate(
-        [occ[None], props, st.acc_belt.astype(F32), diffs])
+    if cfg.effective_noise == 0.0:
+        # accuracies are exactly {0.75, 1.0}: the f64 view is authoritative
+        acc_f32 = st.acc_belt.astype(F32)
+    else:
+        # exact f64 -> f32 cast from the IEEE-bit view (TPU-safe)
+        acc_f32 = jax.vmap(lambda b: SF.sf_to_f32(SF.sf_from_bits(b)))(
+            st.acc_belt_bits)
+    obs = jnp.concatenate([occ[None], props, acc_f32, diffs])
     return jnp.clip(obs, -1.0, 1.0)
 
 
@@ -599,6 +719,56 @@ def step_mono_external_exact(cfg: SimConfig, st: EnvState, action,
     }
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def step_mono_random_exact(cfg: SimConfig, st: EnvState, lr,
+                           use_action_masking: bool = True):
+    """Exact monolith ``mode='random'`` step (core.step.step_mono_legacy_random,
+    env_monolith.py:152-164): the legacy global MT19937 draws are pure
+    integers, the masks are pure integer state predicates, so the whole
+    path is TPU-exact.  ``lr`` is a ``legacy_random.MTState``."""
+    from . import legacy_random as LR
+
+    st = _exact_prelude(cfg, st)
+    if use_action_masking:
+        mask = D.monolith_action_masks(cfg, st)
+        n_valid = mask.sum().astype(I32)
+        k, lr = LR.legacy_randint(lr, n_valid)
+        csum = jnp.cumsum(mask.astype(I32))
+        a = jnp.argmax(csum == (k + 1)).astype(I32)
+        press_id, mat = D.press_discrete_to_action(a % 11)
+        skip = jnp.zeros((), bool)
+        inv_code = jnp.zeros((), I32)
+    else:
+        a, lr = LR.legacy_randint(lr, 22)
+        # mode='random' without masking sanitizes and *skips* the press
+        # dispatch entirely on invalid (env_monolith.py:246-255)
+        press_id, mat, skip, inv_code = D.sanitize_press_action(
+            cfg, st, a % 11)
+    sort_mode = a // 11
+
+    purity_cents, st = _exact_apply_sort(cfg, st, sort_mode)
+    log_exec, dispatched = press_action_rules_exact(cfg, st, press_id, mat)
+    st = jax.tree.map(lambda x, y: jnp.where(skip, x, y), st, dispatched)
+    log = jnp.where(skip, inv_code, log_exec)
+
+    sort_reward = calculate_sorting_reward_exact(cfg, st)
+    press_reward, st = calculate_press_reward_exact(cfg, st)
+    reward = SF.sfs_add(sort_reward, press_reward)
+    obs = get_mono_obs_exact(cfg, st)
+    st = st._replace(current_step=st.current_step + 1)
+    return st, lr, {
+        "obs": obs,
+        "terminated": st.current_step >= cfg.max_steps,
+        "action": a,
+        "purity_cents": purity_cents,
+        "press_log": log,
+        "reward_bits": SF.sfs_to_bits(reward),
+        "sort_reward_bits": SF.sfs_to_bits(sort_reward),
+        "press_reward_bits": SF.sfs_to_bits(press_reward),
+        "reward_sfs": reward,
+    }
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def rollout_rule_exact(cfg: SimConfig, st: EnvState, steps: int):
     """Full rule-based episode with the cumulative return accumulated
@@ -631,4 +801,7 @@ def to_parity_view(st: EnvState) -> dict:
         "bale_qual": np.asarray(st.bale_qual),
         "bale_cnt": np.asarray(st.bale_cnt),
         "current_step": np.asarray(st.current_step),
+        # exact f64 accuracies (decode with np.uint64.view(np.float64))
+        "acc_belt_bits": np.asarray(st.acc_belt_bits),
+        "acc_sorter_bits": np.asarray(st.acc_sorter_bits),
     }

@@ -237,6 +237,14 @@ def _hypergeom(keys, N, K, n, support=_HG_SUPPORT):
     Same product-space inverse-CDF as core.fast._hypergeom, pmf laid out
     (support, batch) so the batch rides the 128-lane axis.  ``support``
     must statically bound hi = min(K, n) (see _support_for)."""
+    return _hypergeom_u(_vuniform(keys), N, K, n, support)
+
+
+def _hypergeom_u(u, N, K, n, support=_HG_SUPPORT):
+    """_hypergeom with the uniform u: f32[B] in [0,1) supplied by the
+    caller — the shared core between the XLA path (uniforms from
+    threefry keys) and the Pallas kernel equivalence test
+    (ops/mvhg_pallas.py consumes the same pre-drawn uniforms)."""
     Nf = jnp.maximum(N, 1).astype(F32)[None, :]
     ks = lax.broadcasted_iota(I32, (support, 1), 0)
     kf = ks.astype(F32)
@@ -253,26 +261,57 @@ def _hypergeom(keys, N, K, n, support=_HG_SUPPORT):
     valid = (ks >= lo[None, :]) & (ks <= hi[None, :])
     pmf = jnp.where(valid, pmf, 0.0)
     cdf = _prefix_sum0(pmf)
-    u = _vuniform(keys) * cdf[-1]
-    x = jnp.sum((cdf < u[None, :]).astype(I32), axis=0)
+    us = u * cdf[-1]
+    x = jnp.sum((cdf < us[None, :]).astype(I32), axis=0)
     return jnp.clip(x, lo, hi)
 
 
 def _mvhg4(keys, counts, n, support=_HG_SUPPORT):
     """Batched multivariate hypergeometric over 4 categories.
     counts: i32[4, B]; n: i32[B] -> removed i32[4, B]."""
+    ks = _vsplit(keys, 3)
+    us = jnp.stack([_vuniform(ks[:, j]) for j in range(3)])
+    return _mvhg4_u(us, counts, n, support)
+
+
+def _mvhg4_u(us, counts, n, support=_HG_SUPPORT):
+    """_mvhg4 with the three uniforms us: f32[3, B] supplied."""
     N = counts.sum(axis=0)
     n = jnp.minimum(n, N)
-    ks = _vsplit(keys, 3)
-    d0 = _hypergeom(ks[:, 0], N, counts[0], n, support)
+    d0 = _hypergeom_u(us[0], N, counts[0], n, support)
     N1 = N - counts[0]
     n1 = n - d0
-    d1 = _hypergeom(ks[:, 1], N1, counts[1], n1, support)
+    d1 = _hypergeom_u(us[1], N1, counts[1], n1, support)
     N2 = N1 - counts[1]
     n2 = n1 - d1
-    d2 = _hypergeom(ks[:, 2], N2, counts[2], n2, support)
+    d2 = _hypergeom_u(us[2], N2, counts[2], n2, support)
     d3 = n2 - d2
     return jnp.stack([d0, d1, d2, d3]).astype(I32)
+
+
+def redistribute_u(counts, acc_sorter, us, support=_HG_SUPPORT):
+    """The redistribution core of ``_sort_material`` consuming pre-drawn
+    uniforms ``us: f32[12, B]`` (3 conditional draws x 4 stations, in
+    station-major order — the Pallas kernel's layout,
+    ops/mvhg_pallas.py).  counts/acc_sorter are (4, B).  Returns
+    (leftover, true_arr, false_arr), each i32[4, B].
+
+    This IS the production path (called by _sort_material with uniforms
+    drawn from the key chain) and the oracle for the kernel equivalence
+    test — they cannot drift apart."""
+    leftover = counts
+    true_arr = jnp.zeros_like(counts)
+    false_arr = jnp.zeros_like(counts)
+    for i in range(4):
+        target = leftover[i]
+        true_val = jnp.rint(target.astype(F32) * acc_sorter[i]).astype(I32)
+        false_val = target - true_val
+        true_arr = true_arr.at[i].set(true_val)
+        false_arr = false_arr.at[i].set(false_val)
+        leftover = leftover.at[i].set(false_val)
+        removed = _mvhg4_u(us[3 * i:3 * i + 3], leftover, false_val, support)
+        leftover = leftover - removed
+    return leftover, true_arr, false_arr
 
 
 # ---------------------------------------------------------------------------
@@ -337,22 +376,18 @@ def _update_accuracy(cfg: SimConfig, st: BState) -> BState:
 
 def _sort_material(cfg: SimConfig, st: BState):
     total_input = st.sort_counts.sum(axis=0)              # (N,)
-    leftover = st.sort_counts
-    true_arr = jnp.zeros_like(leftover)
-    false_arr = jnp.zeros_like(leftover)
     key = st.key
     support = _support_for(cfg)
-    for i in range(4):
-        target = leftover[i]
-        true_val = jnp.rint(target.astype(F32) * st.acc_sorter[i]).astype(I32)
-        false_val = target - true_val
-        true_arr = true_arr.at[i].set(true_val)
-        false_arr = false_arr.at[i].set(false_val)
-        leftover = leftover.at[i].set(false_val)
+    # pre-draw the 12 uniforms with the same key tree _mvhg4 used inline
+    # (bit-identical trajectories), then run the shared redistribution core
+    us = []
+    for _ in range(4):
         ks = _vsplit(key)
         key, sk = ks[:, 0], ks[:, 1]
-        removed = _mvhg4(sk, leftover, false_val, support)
-        leftover = leftover - removed
+        k3 = _vsplit(sk, 3)
+        us.extend(_vuniform(k3[:, j]) for j in range(3))
+    leftover, true_arr, false_arr = redistribute_u(
+        st.sort_counts, st.acc_sorter, jnp.stack(us), support)
 
     e_input = leftover.sum(axis=0).astype(I32)
     cont_true = st.cont_true.at[:4].add(true_arr)

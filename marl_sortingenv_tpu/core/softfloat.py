@@ -408,3 +408,90 @@ def sfs_to_f64(x: SFS) -> jax.Array:
     sfs_to_bits and decode on the host."""
     mag = jnp.ldexp(x.m.astype(jnp.float64), x.e)
     return jnp.where(x.s < 0, -mag, mag)
+
+
+# ---------------------------------------------------------------------------
+# noise > 0 extension (proto: exact32_proto.sf_mul etc.): general multiply
+# via 32-bit-limb 128-bit product, exact int / next_double injection,
+# Python-round to int, and IEEE-bit pack/unpack so exact f64 values can
+# live in u64 state fields (TPU f64 is ~49-bit and cannot store them).
+# ---------------------------------------------------------------------------
+
+
+def _mul128(a, b):
+    """Full 128-bit product of two u64 as (hi, lo) via 32-bit limbs."""
+    mask = U64(0xFFFFFFFF)
+    ah, al = a >> U64(32), a & mask
+    bh, bl = b >> U64(32), b & mask
+    lo = al * bl
+    m1 = ah * bl
+    m2 = al * bh
+    hi = ah * bh
+    lo1 = lo + (m1 << U64(32))
+    c1 = (lo1 < lo).astype(U64)
+    lo2 = lo1 + (m2 << U64(32))
+    c2 = (lo2 < lo1).astype(U64)
+    hi = hi + (m1 >> U64(32)) + (m2 >> U64(32)) + c1 + c2
+    return hi, lo2
+
+
+def sf_mul(x: SFJ, y: SFJ) -> SFJ:
+    """Correctly-rounded f64 multiply (non-negative normalized operands).
+
+    p = x.m * y.m is in [2^104, 2^106), so hi = p >> 64 is in [2^40, 2^42)
+    and the normalization shift is 52 or 53 — always inside lo."""
+    hi, lo = _mul128(x.m, y.m)
+    shift = (_bitlen(hi) + I32(64) - I32(53)).astype(U64)
+    q = (hi << (U64(64) - shift)) | (lo >> shift)
+    rem = lo & ((U64(1) << shift) - U64(1))
+    q = _round_half_even(q, rem, U64(1) << shift)
+    carry = q == MHIGH
+    q = jnp.where(carry, jnp.asarray(MLOW), q)
+    e = x.e + y.e + shift.astype(I32) + carry.astype(I32)
+    zero = (x.m == U64(0)) | (y.m == U64(0))
+    return SFJ(jnp.where(zero, U64(0), q), jnp.where(zero, I32(0), e))
+
+
+def sf_from_int(t) -> SFJ:
+    """Exact SFJ of a non-negative integer < 2^53."""
+    t = jnp.asarray(t).astype(U64)
+    sh = (I32(53) - _bitlen(t)).clip(0, 63).astype(U64)
+    zero = t == U64(0)
+    return SFJ(jnp.where(zero, U64(0), t << sh),
+               jnp.where(zero, I32(0), -sh.astype(I32)))
+
+
+def sf_from_u53(u) -> SFJ:
+    """Exact SFJ of u * 2^-53 for u in [0, 2^53) — ``next_double``."""
+    x = sf_from_int(u)
+    return SFJ(x.m, jnp.where(x.m == U64(0), I32(0), x.e - I32(53)))
+
+
+def sf_round_int(x: SFJ) -> jax.Array:
+    """Python ``round(value(x))`` -> i64: half-to-even on the f64 value
+    (non-negative, value < 2^53).  s >= 54 means value < 1/2 -> 0, which
+    the clamped shift also produces (m < 2^53 < 2^54 - m)."""
+    pos = x.e >= 0
+    s = jnp.clip(-x.e, 0, 54).astype(U64)
+    q = x.m >> s
+    rem = x.m & ((U64(1) << s) - U64(1))
+    q = _round_half_even(q, rem, U64(1) << s)
+    q = jnp.where(pos, x.m << jnp.clip(x.e, 0, 10).astype(U64), q)
+    return jnp.where(x.m == U64(0), U64(0), q).astype(I64)
+
+
+def sf_to_bits(x: SFJ) -> jax.Array:
+    """IEEE-754 f64 bit pattern of the (non-negative) value — normals and
+    +0 only (the plant's domain; subnormals unreachable)."""
+    biased = (x.e + I32(52) + I32(1023)).astype(U64)
+    bits = (biased << U64(52)) | (x.m - jnp.asarray(MLOW))
+    return jnp.where(x.m == U64(0), U64(0), bits)
+
+
+def sf_from_bits(bits) -> SFJ:
+    """Inverse of sf_to_bits (non-negative normals + zero)."""
+    bits = jnp.asarray(bits, U64)
+    m = (bits & U64((1 << 52) - 1)) | jnp.asarray(MLOW)
+    e = (bits >> U64(52)).astype(I32) - I32(1075)
+    zero = bits == U64(0)
+    return SFJ(jnp.where(zero, U64(0), m), jnp.where(zero, I32(0), e))

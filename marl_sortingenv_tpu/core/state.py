@@ -86,6 +86,13 @@ class EnvState(NamedTuple):
     rng_noise: PCG64State
     rng: PCG64State
     gen_rng: PCG64State
+    # exact-engine (TPU-bit-exact) view of the accuracies as IEEE-754 f64
+    # bit patterns: TPU hardware f64 is ~49-bit, so noise>0 accuracies
+    # cannot live in the f64 fields without losing bits.  Maintained by
+    # exact_dynamics.update_accuracy_exact; the f64 fields stay the
+    # authoritative view for the CPU parity engine.
+    acc_belt_bits: jax.Array   # u64[4]
+    acc_sorter_bits: jax.Array  # u64[4]
 
 
 def reset(cfg: SimConfig, seed) -> EnvState:
@@ -146,6 +153,14 @@ def reset(cfg: SimConfig, seed) -> EnvState:
         rng_noise=pcg64_init(eff + 4),
         rng=pcg64_init(eff + 99),
         gen_rng=gen_rng,
+        acc_belt_bits=jnp.broadcast_to(
+            jnp.asarray(np.asarray(cfg.baseline_accuracy,
+                                   np.float64).view(np.uint64)),
+            shape + (4,)),
+        acc_sorter_bits=jnp.broadcast_to(
+            jnp.asarray(np.asarray(cfg.baseline_accuracy,
+                                   np.float64).view(np.uint64)),
+            shape + (4,)),
     )
     return st
 

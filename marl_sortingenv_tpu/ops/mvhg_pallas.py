@@ -77,14 +77,18 @@ def _kernel(counts_ref, acc_ref, u_ref, leftover_ref, true_ref, false_ref):
     leftover = counts
     true_out = jnp.zeros_like(counts)
     false_out = jnp.zeros_like(counts)
+    # column updates as iota-masked selects: ``.at[:, i].set`` /
+    # ``jnp.stack`` lower to `scatter`, which Mosaic has no TC lowering
+    # for (artifacts/pallas_ab.log) — selects lower fine
+    col = jax.lax.broadcasted_iota(I32, counts.shape, 1)
 
     for i in range(4):
         target = leftover[:, i]
         true_val = jnp.rint(target.astype(F32) * acc[:, i]).astype(I32)
         false_val = target - true_val
-        true_out = true_out.at[:, i].set(true_val)
-        false_out = false_out.at[:, i].set(false_val)
-        leftover = leftover.at[:, i].set(false_val)
+        true_out = jnp.where(col == i, true_val[:, None], true_out)
+        false_out = jnp.where(col == i, false_val[:, None], false_out)
+        leftover = jnp.where(col == i, false_val[:, None], leftover)
 
         # conditional MVHG: 3 draws against categories 0..2, remainder to 3
         Ntot = jnp.sum(leftover, axis=1)
@@ -97,7 +101,10 @@ def _kernel(counts_ref, acc_ref, u_ref, leftover_ref, true_ref, false_ref):
         n2 = n1 - d1
         d2 = _hg_tile(u[:, 3 * i + 2], N2, leftover[:, 2], n2)
         d3 = n2 - d2
-        removed = jnp.stack([d0, d1, d2, d3], axis=1)
+        removed = (jnp.where(col == 0, d0[:, None], 0)
+                   + jnp.where(col == 1, d1[:, None], 0)
+                   + jnp.where(col == 2, d2[:, None], 0)
+                   + jnp.where(col == 3, d3[:, None], 0))
         leftover = leftover - removed
 
     leftover_ref[:] = leftover

@@ -82,3 +82,31 @@ def test_kernel_statistics_match_fast_engine():
     m_k = np.asarray(leftover_k).mean(0)
     m_f = np.asarray(lf).mean(0)
     np.testing.assert_allclose(m_k, m_f, atol=1.5)
+
+
+def test_kernel_bitwise_equals_fastb_redistribute():
+    """Interpret-mode kernel == fastb.redistribute_u exactly, given the
+    SAME pre-drawn uniforms (VERDICT r1 next-round #9: the kernel is
+    pinned to the production redistribution core so it cannot rot)."""
+    from marl_sortingenv_tpu.core import fastb as FB
+
+    rng = np.random.default_rng(3)
+    N = 32
+    counts = rng.integers(0, 80, (N, 4)).astype(np.int32)
+    acc = np.where(rng.random((N, 4)) < 0.5, 1.0, 0.75).astype(np.float32)
+    # include noisy accuracies too (fast engines allow arbitrary f32 acc)
+    acc[: N // 2] = np.clip(
+        acc[: N // 2] + rng.uniform(-0.05, 0.05, (N // 2, 4)), 0, 1
+    ).astype(np.float32)
+    uniforms = rng.random((N, 12)).astype(np.float32)
+
+    lk, tk, fk = K.sort_redistribute(
+        jnp.asarray(counts), jnp.asarray(acc), jnp.asarray(uniforms),
+        interpret=True)
+    lf, tf, ff = jax.jit(
+        lambda c, a, u: FB.redistribute_u(c, a, u, support=K.SUPPORT))(
+        jnp.asarray(counts.T), jnp.asarray(acc.T), jnp.asarray(uniforms.T))
+
+    np.testing.assert_array_equal(np.asarray(lk), np.asarray(lf).T)
+    np.testing.assert_array_equal(np.asarray(tk), np.asarray(tf).T)
+    np.testing.assert_array_equal(np.asarray(fk), np.asarray(ff).T)

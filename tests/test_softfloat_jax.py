@@ -128,3 +128,73 @@ def test_cmp_and_cents_and_f32():
         assert bool(cmp[i]) == P.sf_cmp_le_u53(v, int(us[i])), (v, us[i])
         assert int(cents[i]) == P.sf_cents(v), v
         assert np.float32(f32[i]) == np.float32(P.sf_to_f32(v)), v
+
+
+# ---------------------------------------------------------------------------
+# noise > 0 primitives: sf_mul / sf_from_int / sf_from_u53 / sf_round_int /
+# IEEE bit pack-unpack (proto versions are spec-checked vs IEEE in
+# test_exact32_proto.py)
+# ---------------------------------------------------------------------------
+
+
+def _random_sf(n, seed, emin=-62, emax=-48):
+    import math
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        m = int(rng.integers(1 << 52, 1 << 53))
+        e = int(rng.integers(emin, emax + 1)) - 52
+        out.append(P.sf_from_float(math.ldexp(m, e)))
+    return out
+
+
+def test_mul():
+    xs = _random_sf(4000, 10)
+    ys = _random_sf(4000, 11)
+    out = jax.jit(jax.vmap(SF.sf_mul))(batch_sf(xs), batch_sf(ys))
+    m, e = as_np(out)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        ref = P.sf_mul(x, y)
+        assert (int(m[i]), int(e[i]) if m[i] else 0) == (
+            ref.m, ref.e if ref.m else 0), (x, y)
+
+
+def test_from_int_u53_round_int():
+    rng = np.random.default_rng(12)
+    ts = rng.integers(0, 501, size=3000)
+    us = rng.integers(0, 1 << 53, size=3000, dtype=np.uint64)
+    us[:10] = 0
+    ot = jax.jit(jax.vmap(SF.sf_from_int))(jnp.asarray(ts, jnp.int64))
+    ou = jax.jit(jax.vmap(SF.sf_from_u53))(jnp.asarray(us, jnp.uint64))
+    for i in range(len(ts)):
+        r1 = P.sf_from_int(int(ts[i]))
+        r2 = P.sf_from_u53(int(us[i]))
+        assert (int(ot.m[i]), int(ot.e[i]) if ot.m[i] else 0) == (
+            r1.m, r1.e if r1.m else 0)
+        assert (int(ou.m[i]), int(ou.e[i]) if ou.m[i] else 0) == (
+            r2.m, r2.e if r2.m else 0)
+    # round-int over products t * acc (the sorting split's domain)
+    accs = _random_sf(3000, 13, emin=-54, emax=-52)  # acc in (0.25, 2)
+    prods = [P.sf_mul(P.sf_from_int(int(t)), a) for t, a in zip(ts, accs)]
+    orr = jax.jit(jax.vmap(SF.sf_round_int))(batch_sf(prods))
+    for i, p in enumerate(prods):
+        assert int(orr[i]) == P.sf_round_int(p), (i, p)
+    # ties
+    for v, want in ((0.5, 0), (1.5, 2), (2.5, 2), (3.5, 4)):
+        got = int(SF.sf_round_int(
+            SF.SFJ(jnp.uint64(P.sf_from_float(v).m),
+                   jnp.int32(P.sf_from_float(v).e))))
+        assert got == want == round(v)
+
+
+def test_bits_roundtrip_vs_numpy_view():
+    xs = _random_sf(2000, 14) + [P.sf_zero(), P.sf_from_float(1.0),
+                                 P.sf_from_float(0.75)]
+    vals = np.asarray([P.sf_to_float(x) for x in xs], np.float64)
+    bits = jax.jit(jax.vmap(SF.sf_to_bits))(batch_sf(xs))
+    np.testing.assert_array_equal(np.asarray(bits), vals.view(np.uint64))
+    back = jax.jit(jax.vmap(SF.sf_from_bits))(bits)
+    m, e = as_np(back)
+    for i, x in enumerate(xs):
+        assert (int(m[i]), int(e[i]) if m[i] else 0) == (
+            x.m, x.e if x.m else 0)
