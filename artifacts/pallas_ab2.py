@@ -46,12 +46,24 @@ def pallas_path(c, a, u, env_tile):
                                          env_tile=env_tile)
 
 
-def timeit(fn, *args, iters=200):
-    out = fn(*args)
+def timeit(fn, c, a, u, iters=200):
+    """Pure device time via an on-device scan: each iteration's u depends
+    on the previous output (tiny data-dependent perturbation), so XLA
+    cannot hoist or CSE the body out of the loop and Python dispatch is
+    paid once (round-2 ADVICE: chaining 200 async dispatches measured
+    Python dispatch, not device time, for sub-100us ops)."""
+    from jax import lax
+
+    def body(u, _):
+        _, t, _ = fn(c, a, u)
+        eps = (t.sum() % 2).astype(jnp.float32) * jnp.float32(1e-12)
+        return u + eps, ()
+
+    run = jax.jit(lambda u: lax.scan(body, u, None, length=iters)[0])
+    out = run(u)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    out = run(u)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters * 1e6  # us
 
@@ -66,7 +78,8 @@ for tile in (8, 16, 32, 64, 128, 256, 512):
         ok = (np.array_equal(np.asarray(lp).T, np.asarray(lx))
               and np.array_equal(np.asarray(tp).T, np.asarray(tx))
               and np.array_equal(np.asarray(fp).T, np.asarray(fx)))
-        us_p = timeit(pallas_path, c_r, a_r, u_r, tile)
+        us_p = timeit(
+            lambda c, a, u, t=tile: pallas_path(c, a, u, t), c_r, a_r, u_r)
         print(f"Pallas tile={tile:4d}      : {us_p:9.1f} us/call  "
               f"({B/us_p*1e6/1e6:.1f}M env/s)  bitwise_eq={ok}")
     except Exception as e:  # noqa: BLE001

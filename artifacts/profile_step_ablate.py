@@ -29,7 +29,10 @@ def build_run():
 
     def body(st, _):
         st, out = stepped(st, jnp.zeros(N_ENVS, jnp.int32))
-        return st, out.reward.sum()
+        # keep obs live (reward alone lets XLA dead-code-eliminate
+        # get_mono_obs from the baseline, so the obs ablation row would
+        # measure nothing — round-2 ADVICE)
+        return st, out.reward.sum() + out.obs.sum()
 
     return jax.jit(lambda s: lax.scan(body, s, None, length=N_STEPS)[1]), st
 

@@ -144,6 +144,12 @@ class _EnvBase(gym.Env):
             self.reward_data[f"{m}_True"] = []
             self.reward_data[f"{m}_False"] = []
         self.press_actions_per_timestep = []
+        # dashboard-only per-step series (not part of the reference's
+        # reward_data keys): raw belt counts and press timers, so render()
+        # feeds real data to panels 7/9 (plotting.py:28-692) instead of
+        # placeholders — matches eval/harness.episode_series
+        self._belt_counts_log = []
+        self._press_timer_log = []
 
     def _log(self, out):
         st = self.state
@@ -168,6 +174,9 @@ class _EnvBase(gym.Env):
         self.reward_data["E_True"].append(int(ct[4]))
         self.reward_data["E_False"].append(0)
         self.press_actions_per_timestep.append(int(out.press_log))
+        self._belt_counts_log.append(belt.astype(np.int64))
+        self._press_timer_log.append(
+            np.asarray(st.press_timer, np.int64).copy())
 
     @property
     def container_materials(self):
@@ -241,17 +250,15 @@ class _EnvBase(gym.Env):
             "press_log": np.array(self.press_actions_per_timestep),
             "setting": np.array(rd["Setting"]),
             "belt_occupancy": np.array(rd["Belt_Occupancy"]),
-            "belt_counts": np.zeros((T, 4)),
+            "belt_counts": (np.stack(self._belt_counts_log)
+                            if self._belt_counts_log else np.zeros((0, 4))),
             "cont_true": np.column_stack(
                 [rd[f"{m}_True"] for m in "ABCDE"]) if T else np.zeros((0, 5)),
             "cont_false": np.column_stack(
                 [rd[f"{m}_False"] for m in "ABCD"]) if T else np.zeros((0, 4)),
-            "press_timer": np.zeros((T, 2)),
+            "press_timer": (np.stack(self._press_timer_log)
+                            if self._press_timer_log else np.zeros((0, 2))),
         }
-        bp = rd["Belt_Proportions"]
-        if bp:
-            series["belt_counts"] = np.array(
-                [[p[m] for m in "ABCD"] for p in bp])
         plot_env(self.config, series, self.state, save=save, show=show,
                  log_dir=log_dir, filename=filename, title=title, fmt=format,
                  checksum=checksum, seed=self.seed_value)

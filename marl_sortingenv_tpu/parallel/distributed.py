@@ -29,13 +29,35 @@ from .mesh import make_mesh
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """``jax.distributed.initialize`` wrapper; no-op when single-process
-    (so the same program runs 1-host and N-host)."""
-    if num_processes is None and jax.process_count() > 1:
+    """``jax.distributed.initialize`` wrapper so the same program runs
+    1-host and N-host.
+
+    * explicit coordinator → real multi-process init (the 2-process CPU
+      test ``tests/test_multiprocess.py`` exercises this path);
+    * no args on a cluster (TPU pod / SLURM / k8s) → auto-detection via
+      ``jax.distributed.initialize()``;
+    * no args on a plain single machine → single-process mode (the
+      auto-detect attempt finds no cluster and is swallowed).
+    """
+    # detect an already-initialized distributed client WITHOUT touching the
+    # backend (jax.process_count() would initialize XLA, after which
+    # jax.distributed.initialize refuses to run)
+    from jax._src import distributed as _jdist
+
+    if getattr(_jdist.global_state, "client", None) is not None:
         return  # already initialized by the launcher
     if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
+        return
+    if num_processes is not None and num_processes > 1:
+        raise ValueError(
+            "coordinator_address is required for multi-process init")
+    try:
+        # cluster auto-detection (TPU pod metadata, SLURM, ...)
+        jax.distributed.initialize()
+    except Exception:
+        pass  # no cluster environment detected -> single-process mode
 
 
 def global_mesh(tp: int = 1) -> Mesh:
