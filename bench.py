@@ -1,24 +1,36 @@
 """Throughput benchmarks on the production TPU path (BASELINE.json north
 star: env-steps/s per chip, Env_3_Monolith, 4096 lockstep instances).
 
-Three surfaces, all on the batch-last fast engine (``core.fastb``:
-f32/i32/threefry struct-of-arrays with the env batch on the 128-lane
-axis; bit-identical trajectories to the vmapped per-env fast engine —
-the bit-exact f64 parity engine is CPU-verified by the test suite, this
+Surfaces, all on the batch-last fast engine (``core.fastb``: f32/i32/
+threefry struct-of-arrays with the env batch on the 128-lane axis;
+bit-identical trajectories to the vmapped per-env fast engine — the
+bit-exact f64 parity engine is CPU-verified by the test suite, this
 measures the production path):
 
-1. ``mono_rule``   — closed-loop rule-based monolith step (round-1 headline).
-2. ``fused_policy``— Maskable-PPO actor forward (masked argmax) fused with
-                     the monolith env step, the ``__graft_entry__.entry()``
-                     shape at 4096 envs.
-3. ``train_iter``  — the FULL jitted PPO training iteration
-                     (``learn.ppo.make_train_iteration``: rollout scan +
-                     GAE + minibatch update epochs) — learner-attached
-                     env-steps/s and updates/s.
+1. ``mono_rule``    — closed-loop rule-based monolith step (headline).
+2. ``fused_policy`` — Maskable-PPO actor forward (masked argmax) fused
+                      with the monolith env step, the
+                      ``__graft_entry__.entry()`` shape at 4096 envs.
+3. ``train_iter``   — the FULL jitted PPO training iteration
+                      (``learn.ppo.make_train_iteration``: rollout scan +
+                      GAE + minibatch update epochs) at 4096 envs.
+4. ``train_iter_8192`` — the same at 8192 envs (BASELINE config 4 names
+                      8192 instances for the learner-attached row).
 
-Prints exactly one JSON line.  The headline metric stays the round-1
-comparable ``env_steps_per_sec_per_chip_mono4096``; the other surfaces
-ride in ``extra``.
+Timing methodology (round 3): each surface is timed as CHAIN back-to-back
+data-dependent dispatches with ONE host sync (a scalar fetch) at the end,
+matching how the production loop actually runs (no host sync per
+iteration).  ``jax.block_until_ready`` is not used as the fence: on this
+tunneled TPU client it quantizes to a ~22 ms completion-poll interval
+once any large program has executed (measured in
+``artifacts/axon_timing.md``), which both inflates small measurements and
+under-reports throughput; a small to-host fetch is a true completion
+fence.  Round-2 numbers carried that ~22 ms per timed call and were
+conservative.
+
+Prints exactly one JSON line.  The headline metric stays the
+round-1-comparable ``env_steps_per_sec_per_chip_mono4096``; the other
+surfaces ride in ``extra``.
 
 ``--protocol`` additionally times the reference training protocol
 (``main.py:47-52``: 3-stage flow, 100k timesteps per stage) end to end —
@@ -45,27 +57,39 @@ from marl_sortingenv_tpu.models import mlp
 N_ENVS = 4096
 N_STEPS = 512
 REPEATS = 3
+CHAIN = 4
 BASELINE = 1_000_000.0  # >=1M env-steps/s/host (BASELINE.json north star)
 
 # learner-attached config: large-minibatch PPO cadence sized for the env
 # batch (64 grad steps per iteration on 4096 x 64 samples); SB3's tiny
 # batch_size=64 default would serialize ~41k MLP grad steps per iteration,
-# which is a CPU-era cadence, not how this learner runs on a TPU
+# which is a CPU-era cadence, not how this learner runs on a TPU.
+# shuffle_block=128 permutes 128-row blocks of the [T, N]-flattened batch
+# (= 128 different env instances at one timestep per block): near-i.i.d.
+# samples, full-bandwidth gathers (see PPOConfig.shuffle_block).
 TRAIN_N_STEPS = 64
 TRAIN_BATCH = 16384
 TRAIN_EPOCHS = 4
+TRAIN_SHUFFLE_BLOCK = 128
 
 
-def _time(run, arg, work_units):
-    out = run(arg)               # compile + warmup
-    jax.block_until_ready(out)
+def _time_chain(run, carry, work_per_call, chain=CHAIN, repeats=REPEATS):
+    """run: carry -> (carry, fence_array).  Times `chain` data-dependent
+    dispatches with ONE small to-host fetch as the completion fence;
+    returns best work-units/s.  (Buffer donation is deliberately not used:
+    the tunneled client rejects fetches from donated executables.)"""
+    carry, s = run(carry)  # compile + warmup
+    np.asarray(s)
     best = 0.0
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        out = run(arg)
-        jax.block_until_ready(out)
+        c = carry
+        for _ in range(chain):
+            c, s = run(c)
+        np.asarray(s)  # true completion fence (to-host fetch)
         dt = time.perf_counter() - t0
-        best = max(best, work_units / dt)
+        best = max(best, chain * work_per_call / dt)
+        carry = c
     return best
 
 
@@ -78,7 +102,7 @@ def bench_mono_rule(cfg):
         return st, out.reward.sum()
 
     run = jax.jit(lambda st: lax.scan(body, st, None, length=N_STEPS))
-    return _time(lambda s: run(s)[1], st, N_ENVS * N_STEPS)
+    return _time_chain(run, st, N_ENVS * N_STEPS)
 
 
 def bench_fused_policy(cfg):
@@ -99,36 +123,27 @@ def bench_fused_policy(cfg):
 
     obs0 = FB.get_mono_obs(cfg, st)
     run = jax.jit(lambda c: lax.scan(body, c, None, length=N_STEPS))
-    return _time(lambda c: run(c)[1], (st, obs0), N_ENVS * N_STEPS)
+    return _time_chain(run, (st, obs0), N_ENVS * N_STEPS)
 
 
-def bench_train_iteration(cfg):
+def bench_train_iteration(cfg, n_envs):
     """Full PPO iteration (rollout + GAE + update) throughput."""
     from marl_sortingenv_tpu.learn import ppo
 
     pcfg = ppo.PPOConfig(n_steps=TRAIN_N_STEPS, batch_size=TRAIN_BATCH,
-                         n_epochs=TRAIN_EPOCHS)
+                         n_epochs=TRAIN_EPOCHS,
+                         shuffle_block=TRAIN_SHUFFLE_BLOCK)
     spec = ppo.spec_for("mono", engine="fastb")
-    ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=N_ENVS, seed=0)
+    ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=n_envs, seed=0)
     it = ppo.make_train_iteration(cfg, pcfg, spec)
 
     def run(ts):
         ts, stats = it(ts)
         return ts, stats["loss"]
 
-    ts, loss = run(ts)           # compile + warmup
-    jax.block_until_ready(loss)
-    steps_per_iter = N_ENVS * TRAIN_N_STEPS
-    best_sps, best_ups = 0.0, 0.0
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        ts, loss = run(ts)
-        jax.block_until_ready(loss)
-        dt = time.perf_counter() - t0
-        best_sps = max(best_sps, steps_per_iter / dt)
-        best_ups = max(best_ups, 1.0 / dt)
-    assert np.isfinite(float(loss))
-    return best_sps, best_ups
+    steps_per_iter = n_envs * TRAIN_N_STEPS
+    sps = _time_chain(run, ts, steps_per_iter)
+    return sps, sps / steps_per_iter
 
 
 def bench_protocol(cfg):
@@ -157,15 +172,19 @@ def main():
     cfg = load_config()
     rule = bench_mono_rule(cfg)
     fused = bench_fused_policy(cfg)
-    train_sps, train_ups = bench_train_iteration(cfg)
+    train_sps, train_ups = bench_train_iteration(cfg, N_ENVS)
+    train8_sps, train8_ups = bench_train_iteration(cfg, 2 * N_ENVS)
 
     extra = {
         "fused_policy_env_steps_per_sec": round(fused, 1),
         "train_iter_env_steps_per_sec": round(train_sps, 1),
         "train_iter_updates_per_sec": round(train_ups, 4),
+        "train_iter_8192_env_steps_per_sec": round(train8_sps, 1),
+        "train_iter_8192_updates_per_sec": round(train8_ups, 4),
         "train_iter_config": {
             "n_envs": N_ENVS, "n_steps": TRAIN_N_STEPS,
-            "batch_size": TRAIN_BATCH, "n_epochs": TRAIN_EPOCHS},
+            "batch_size": TRAIN_BATCH, "n_epochs": TRAIN_EPOCHS,
+            "shuffle_block": TRAIN_SHUFFLE_BLOCK},
     }
     if "--protocol" in sys.argv:
         extra["protocol_3stage_100k_wall_s"] = round(bench_protocol(cfg), 1)

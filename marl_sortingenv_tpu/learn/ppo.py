@@ -54,6 +54,14 @@ class PPOConfig:
     learning_rate: float = 3e-4
     adam_eps: float = 1e-5
     normalize_advantage: bool = True
+    # minibatch shuffle granularity.  1 = SB3's exact semantics (uniform
+    # permutation of all T*N samples).  B>1 permutes contiguous B-row
+    # blocks of the [T, N]-flattened batch instead: with N >= B each block
+    # is B *different env instances at one timestep* (nearly independent
+    # samples), the HBM gather runs at full bandwidth instead of
+    # 116-byte random rows, and the permutation sorts total/B keys
+    # instead of total.  Falls back to 1 when B doesn't divide the batch.
+    shuffle_block: int = 1
 
     @classmethod
     def tuned(cls, **over) -> "PPOConfig":
@@ -329,19 +337,32 @@ def _loss_fn(params, pcfg: PPOConfig, batch):
 
 def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
                advantages, returns):
-    """n_epochs x shuffled minibatches, as SB3's training loop."""
+    """n_epochs x shuffled minibatches, as SB3's training loop.
+
+    With ``shuffle_block == 1`` (default) this is SB3's exact shuffle: a
+    uniform permutation of all T*N flattened samples per epoch.  With
+    ``shuffle_block = B`` the permutation (and the HBM gather) works on
+    contiguous B-row blocks — see PPOConfig.shuffle_block."""
     T, N = trs.action.shape
     total = T * N
     n_mb = max(1, total // pcfg.batch_size)
     mb_size = total // n_mb
 
+    block = pcfg.shuffle_block
+    if block < 1 or total % block or mb_size % block:
+        block = 1
+    n_blocks = total // block
+    mb_blocks = mb_size // block
+
+    # [n_blocks, block, feat...]: gathering on the leading axis moves
+    # contiguous (block * feat)-byte slabs
     flat = (
-        trs.obs.reshape(total, -1),
-        trs.mask.reshape(total, -1),
-        trs.action.reshape(total),
-        trs.logp.reshape(total),
-        advantages.reshape(total).astype(F32),
-        returns.reshape(total).astype(F32),
+        trs.obs.reshape(n_blocks, block, -1),
+        trs.mask.reshape(n_blocks, block, -1),
+        trs.action.reshape(n_blocks, block),
+        trs.logp.reshape(n_blocks, block),
+        advantages.reshape(n_blocks, block).astype(F32),
+        returns.reshape(n_blocks, block).astype(F32),
     )
     optimizer = make_optimizer(pcfg)
     grad_fn = jax.grad(_loss_fn, has_aux=True)
@@ -349,12 +370,13 @@ def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
     def epoch(carry, _):
         params, opt_state, key = carry
         key, pk = jax.random.split(key)
-        perm = jax.random.permutation(pk, total)[: n_mb * mb_size]
-        perm = perm.reshape(n_mb, mb_size)
+        perm = jax.random.permutation(pk, n_blocks)[: n_mb * mb_blocks]
+        perm = perm.reshape(n_mb, mb_blocks)
 
         def minibatch(carry, idx):
             params, opt_state = carry
-            batch = tuple(x[idx] for x in flat)
+            batch = tuple(
+                x[idx].reshape((mb_size,) + x.shape[2:]) for x in flat)
             grads, stats = grad_fn(params, pcfg, batch)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -374,8 +396,14 @@ def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
 
 
 def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
-                         sort_policy=None, use_action_masking=True):
-    """One jitted PPO iteration: rollout + GAE + update."""
+                         sort_policy=None, use_action_masking=True,
+                         donate: bool = False):
+    """One jitted PPO iteration: rollout + GAE + update.
+
+    ``donate=True`` donates the incoming TrainState's buffers (the caller
+    must use the pattern ``ts, stats = it(ts)`` and never touch the old
+    ``ts`` again) — saves the copy of env state + params + opt state every
+    iteration on the production path."""
     step_fn = spec.step_fn(sort_policy, use_action_masking)
 
     def train_iteration(ts: TrainState):
@@ -386,7 +414,7 @@ def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
         stats["mean_episode_return"] = ts.last_ep_return.mean()
         return ts, stats
 
-    return jax.jit(train_iteration)
+    return jax.jit(train_iteration, donate_argnums=(0,) if donate else ())
 
 
 def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
