@@ -36,6 +36,23 @@ table = harness.compare_engine_drift(
     cfg, num_seeds=10, steps=200, sort_params=sp, press_params=pp,
     mono_params=mp, use_action_masking=True)
 
+# Round-3 statistical power-up (VERDICT r2 weak #5): the n=10 bands were
+# too wide to detect drift.  parity50 = the bit-exact protocol extended
+# to seeds 1..50; fast/fastb re-run at 1000 lockstep episodes.  The
+# in-suite test (tests/test_engine_benchmark.py) asserts each fast-engine
+# mean within 3 combined standard errors of parity50.
+parity50, _ = harness.run_model_benchmark(
+    cfg, num_seeds=50, steps=200, sort_params=sp, press_params=pp,
+    mono_params=mp, use_action_masking=True)
+table["parity50"] = {k: dict(v, n=50) for k, v in parity50.items()}
+for eng in ("fast", "fastb"):
+    table[f"{eng}1000"] = {
+        k: dict(v, n=1000)
+        for k, v in harness.run_engine_benchmark(
+            cfg, engine=eng, num_episodes=1000, steps=200, sort_params=sp,
+            press_params=pp, mono_params=mp,
+            use_action_masking=True).items()}
+
 out = os.path.join(HERE, "engine_drift.json")
 with open(out, "w") as f:
     json.dump(table, f, indent=2)

@@ -88,10 +88,15 @@ def _masked_mlp_predict(policy, obs, mask) -> jax.Array:
 # Env_1_Sorting (reference env_1_sort.py:97-154)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnums=(0,))
 def step_sort(cfg: SimConfig, st: EnvState, action) -> Tuple[EnvState, StepOut]:
     """Agent picks the sort mode; press side samples a random *masked*
     action from rng_pressing (env_1_sort.py:124-126); reward is the
-    sorting reward only."""
+    sorting reward only.
+
+    Jitted (static cfg) like every other step variant: the host wrappers
+    call step functions eagerly per step, and an unjitted step re-traces
+    its inner while_loops on every call (~0.8 s/step vs ~15 ms jitted)."""
     st = _common_prelude(cfg, st)
     purity, st = _apply_sort(cfg, st, action)
 

@@ -57,9 +57,12 @@ def test_cli_env_analysis(tmp_path):
 def test_cli_tiny_training_flow(tmp_path):
     from marl_sortingenv_tpu import main as M
 
+    # fast engine + 1 bench seed: this test covers the CLI flow mechanics
+    # (stage wiring, artifact dirs, summary.json); parity-engine training
+    # is covered by tests/test_trainer_and_eval.py
     args = M.build_parser().parse_args([
         "--train-and-benchmark", "--timesteps", "512", "--steps", "30",
-        "--n-envs", "8", "--bench-seeds", "2", "--engine", "parity",
+        "--n-envs", "8", "--bench-seeds", "1", "--engine", "fast",
         "--fig-dir", str(tmp_path), "--log-dir", str(tmp_path / "log"),
         "--models-dir", str(tmp_path / "models"), "--tag", "t",
     ])

@@ -101,3 +101,60 @@ def test_sort_agent_learning_regression_floor():
         ppo.evaluate(cfg, spec, ts.params, n_envs=16, n_steps=200))))
     assert r1 >= 65.0, (r0, r1)
     assert r1 > r0 + 5.0, (r0, r1)
+
+
+def _floor_setup(name, sort_policy=None):
+    cfg = load_config(max_steps=200, noise_sorting=0.0, balesize=200)
+    pcfg = ppo.PPOConfig.tuned(n_steps=128, batch_size=256, n_epochs=4)
+    spec = ppo.spec_for(name, engine="fastb")
+    ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=32, seed=42)
+
+    def ev(params):
+        return float(np.mean(np.asarray(ppo.evaluate(
+            cfg, spec, params, n_envs=16, n_steps=200,
+            sort_policy=sort_policy))))
+
+    it = ppo.make_train_iteration(cfg, pcfg, spec, sort_policy=sort_policy)
+    return ts, it, ev
+
+
+def test_press_agent_learning_regression_floor():
+    """Press learner floor with a FROZEN sort policy in the loop (VERDICT
+    round-2 item 5): the hierarchical path (env_2_press.py:106-109) has
+    the most moving parts — frozen-MLP fused in the rollout, press mask
+    plumbing, 11-action codec.
+
+    Calibration (fastb, seed 42, 15 iters ~= 60k steps, frozen tuned sort
+    agent): untrained -173.4 -> trained -63.9; sign-flipped-advantage
+    learner -> -179.7.  Floor -100 separates all three by >35."""
+    from marl_sortingenv_tpu.utils.checkpoint import load_model
+    import os
+
+    sp = load_model(
+        os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                     "models_tuned", "PPO_Sorting_Tuned_100000.npz"),
+        mlp.init_params(jax.random.PRNGKey(0), 13, 2))
+    ts, it, ev = _floor_setup("press", sort_policy=(mlp.policy_logits, sp))
+    r0 = ev(ts.params)
+    for _ in range(15):
+        ts, stats = it(ts)
+    assert np.isfinite(float(stats["loss"]))
+    r1 = ev(ts.params)
+    assert r1 >= -100.0, (r0, r1)
+    assert r1 > r0 + 20.0, (r0, r1)
+
+
+def test_mono_agent_learning_regression_floor():
+    """Monolith learner floor: the 22-action codec + monolith masks.
+
+    Calibration (fastb, seed 42, 15 iters): untrained -109.5 ->
+    trained -31.0; sign-flipped-advantage learner -> -136.1.  Floor -70
+    separates all three by ~40."""
+    ts, it, ev = _floor_setup("mono")
+    r0 = ev(ts.params)
+    for _ in range(15):
+        ts, stats = it(ts)
+    assert np.isfinite(float(stats["loss"]))
+    r1 = ev(ts.params)
+    assert r1 >= -70.0, (r0, r1)
+    assert r1 > r0 + 20.0, (r0, r1)
