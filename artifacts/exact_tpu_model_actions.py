@@ -101,7 +101,7 @@ def rule_obs_stream(seed):
         so = XD.get_sort_obs_exact(cfg, st)
         po = XD.get_press_obs_exact(cfg, st)
         pm = D.press_action_masks(cfg, st)
-        _, st2 = XD.step_mono_rule_exact(cfg, st)
+        st2, _ = XD.step_mono_rule_exact(cfg, st)
         return st2, (so, po, pm)
 
     _, (so, po, pm) = jax.jit(

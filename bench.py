@@ -57,7 +57,7 @@ from marl_sortingenv_tpu.models import mlp
 N_ENVS = 4096
 N_STEPS = 512
 REPEATS = 3
-CHAIN = 4
+CHAIN = 8
 BASELINE = 1_000_000.0  # >=1M env-steps/s/host (BASELINE.json north star)
 
 # learner-attached config: large-minibatch PPO cadence sized for the env
