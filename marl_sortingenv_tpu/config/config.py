@@ -69,6 +69,16 @@ class SimConfig:
 
     # --- TPU-build parameters (no reference counterpart) ---
     max_bales: int = 112  # fixed-capacity ring for the variable-length lists
+    # Bale bookkeeping strategy of the batch-last engine (core.fastb):
+    # "full"   — materialize the (5, max_bales, N) ring buffers every step
+    #            (drop-in state layout, matches core.fast bit-for-bit);
+    # "events" — record one (material, amount, quality) event per finished
+    #            press into an (max_press_events, N) log and rebuild the
+    #            exact bale lists on host only when a consumer needs them
+    #            (core.bale_events).  Lossless, and removes the dominant
+    #            HBM write traffic of the step (the bale buffers).
+    bale_mode: str = "full"
+    max_press_events: int = 36  # >= floor(T/12)+floor(T/15)+slack for T=200
 
     @property
     def press_times(self) -> Tuple[int, int]:
@@ -95,6 +105,13 @@ def default_max_bales(cfg: SimConfig) -> int:
     total_units / (balesize/2) + slack."""
     total = cfg.max_steps * cfg.input_batch_size
     return max(8, total // max(1, cfg.effective_balesize // 2) + 8)
+
+
+def default_max_press_events(cfg: SimConfig) -> int:
+    """Per-episode bound on finished presses: press p can complete at most
+    floor(max_steps / press_time_p) times between (auto)resets."""
+    t = cfg.max_steps if cfg.max_steps is not None else 256
+    return t // max(1, cfg.press_time_1) + t // max(1, cfg.press_time_2) + 4
 
 
 def load_config(yaml_path: str | None = None, **overrides) -> SimConfig:
@@ -145,5 +162,8 @@ def load_config(yaml_path: str | None = None, **overrides) -> SimConfig:
         )
     if overrides:
         cfg = cfg.with_(**overrides)
-    cfg = cfg.with_(max_bales=default_max_bales(cfg))
+    if "max_bales" not in overrides:
+        cfg = cfg.with_(max_bales=default_max_bales(cfg))
+    if "max_press_events" not in overrides:
+        cfg = cfg.with_(max_press_events=default_max_press_events(cfg))
     return cfg

@@ -97,6 +97,14 @@ class BState(NamedTuple):
     current_step: jax.Array        # i32[N]
     total_input_units: jax.Array   # i32[N]
     key: jax.Array                 # u32[N, 2] threefry keys
+    # Event-log bale mode (cfg.bale_mode == "events"): bale_size/qual/cnt
+    # above are None and each finished press appends one event here; the
+    # exact bale lists are rebuilt on host by core.bale_events.  In
+    # "full" mode these four leaves are None instead.
+    ev_mat: jax.Array | None = None   # i16[E, N]
+    ev_n: jax.Array | None = None     # i16[E, N]
+    ev_q: jax.Array | None = None     # i16[E, N] (integer percent)
+    ev_cnt: jax.Array | None = None   # i32[N]
 
 
 class BStepOut(NamedTuple):
@@ -107,6 +115,23 @@ class BStepOut(NamedTuple):
     sort_reward: jax.Array  # f32[N]
     press_reward: jax.Array  # f32[N]
     purity: jax.Array       # f32[N]
+
+
+def _select_state(pred, a: "BState", b: "BState") -> "BState":
+    """Per-env select over whole states: b where pred else a.
+
+    ``key`` is batch-FIRST (N, 2); every other leaf batch-last; ``None``
+    leaves (the unused bale representation of the current mode) pass
+    through."""
+    sel = {}
+    for name, x, y in zip(BState._fields, a, b):
+        if x is None:
+            sel[name] = None
+        elif name == "key":
+            sel[name] = jnp.where(pred[:, None], y, x)
+        else:
+            sel[name] = _bwhere(pred, y, x)
+    return BState(**sel)
 
 
 def _bwhere(cond, a, b):
@@ -150,6 +175,19 @@ def _vcategorical(keys, logits_nm):
 # Reset
 # ---------------------------------------------------------------------------
 
+def _bale_zeros(cfg: SimConfig, n: int) -> dict:
+    if cfg.bale_mode == "events":
+        e = cfg.max_press_events
+        return dict(bale_size=None, bale_qual=None, bale_cnt=None,
+                    ev_mat=jnp.zeros((e, n), I16),
+                    ev_n=jnp.zeros((e, n), I16),
+                    ev_q=jnp.zeros((e, n), I16),
+                    ev_cnt=jnp.zeros(n, I32))
+    return dict(bale_size=jnp.zeros((5, cfg.max_bales, n), I16),
+                bale_qual=jnp.zeros((5, cfg.max_bales, n), I16),
+                bale_cnt=jnp.zeros((5, n), I32))
+
+
 def _reset_from_keys(cfg: SimConfig, keys) -> BState:
     n = keys.shape[0]
     ks = _vsplit(keys)
@@ -174,9 +212,7 @@ def _reset_from_keys(cfg: SimConfig, keys) -> BState:
         press_mat=jnp.zeros((2, n), I32),
         press_n=jnp.zeros((2, n), I32),
         press_q=jnp.zeros((2, n), F32),
-        bale_size=jnp.zeros((5, cfg.max_bales, n), I16),
-        bale_qual=jnp.zeros((5, cfg.max_bales, n), I16),
-        bale_cnt=jnp.zeros((5, n), I32),
+        **(_bale_zeros(cfg, n)),
         last_press_started=jnp.zeros(n, bool),
         last_press_amount=jnp.zeros(n, I32),
         gen_pattern_first=first,
@@ -194,18 +230,22 @@ def reset_batch(cfg: SimConfig, key, n: int) -> BState:
 
 def from_batch_first(st_bf) -> BState:
     """Convert a vmapped core.fast.FastEnvState (batch axis 0) to BState."""
-    leaves = [jnp.moveaxis(x, 0, -1) if x.ndim > 1 else x
-              for x in st_bf]
-    # key stays (N, 2): moveaxis would flip it
-    leaves[-1] = st_bf.key
-    return BState(*leaves)
+    kw = {name: (x if (name == "key" or x.ndim <= 1)
+                 else jnp.moveaxis(x, 0, -1))     # key stays (N, 2)
+          for name, x in zip(type(st_bf)._fields, st_bf)}
+    return BState(**kw)
 
 
 def to_batch_first(st: BState):
     from . import fast as FE
-    leaves = [jnp.moveaxis(x, -1, 0) if x.ndim > 1 else x for x in st]
-    leaves[-1] = st.key
-    return FE.FastEnvState(*leaves)
+    if st.ev_cnt is not None:
+        raise ValueError(
+            "to_batch_first needs a full-bale-mode state; convert with "
+            "core.bale_events.events_to_full(cfg, st) first")
+    kw = {name: (x if (name == "key" or x.ndim <= 1)
+                 else jnp.moveaxis(x, -1, 0))
+          for name, x in zip(BState._fields, st) if not name.startswith("ev_")}
+    return FE.FastEnvState(**kw)
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +459,20 @@ def _row_at(arr, m, nrows):
 
 def _press_bale(cfg: SimConfig, st: BState, m, n, q, pred) -> BState:
     """Bale out (predicated), full-(5, MAX, N) masked updates — see
-    core.fast._press_bale for the row-mask rationale."""
+    core.fast._press_bale for the row-mask rationale.
+
+    In event mode the press finish is appended to the compact (E, N) log
+    instead; the dense bale lists are a deterministic host-side replay
+    (core.bale_events.rebuild_bales, tested bitwise vs full mode)."""
+    if cfg.bale_mode == "events":
+        lanes = lax.broadcasted_iota(I32, (st.ev_n.shape[0], 1), 0)
+        hit = (lanes == st.ev_cnt[None, :]) & pred[None, :]
+        return st._replace(
+            ev_mat=jnp.where(hit, m[None, :].astype(I16), st.ev_mat),
+            ev_n=jnp.where(hit, n[None, :].astype(I16), st.ev_n),
+            ev_q=jnp.where(hit, (q * 100.0).astype(I16)[None, :], st.ev_q),
+            ev_cnt=st.ev_cnt + pred.astype(I32),
+        )
     bs = cfg.effective_balesize
     q_int = (q * 100.0).astype(I16)[None, None, :]
     full = n // bs                                       # (N,)
@@ -712,11 +765,7 @@ def step_mono_external(cfg: SimConfig, st: BState, action,
     if not use_action_masking:
         valid = _validate_press(cfg, st, press_id, mat)
         dispatched = _press_action_rules(cfg, st, press_id, mat)
-        st = BState(**{
-            name: (jnp.where(valid[:, None], b_, a_) if name == "key"
-                   else _bwhere(valid, b_, a_))
-            for name, a_, b_ in zip(BState._fields, st, dispatched)
-        })
+        st = _select_state(valid, st, dispatched)
     else:
         st = _press_action_rules(cfg, st, press_id, mat)
     sr = _sorting_reward(cfg, st)
@@ -841,12 +890,5 @@ def with_autoreset(cfg: SimConfig, step_fn):
     def stepped(st, action):
         st, out = step_fn(cfg, st, action)
         fresh = autoreset(cfg, st)
-        done = out.terminated
-        # every leaf is batch-LAST except `key`, which stays (N, 2)
-        sel = {
-            name: (jnp.where(done[:, None], b, a) if name == "key"
-                   else _bwhere(done, b, a))
-            for name, a, b in zip(BState._fields, st, fresh)
-        }
-        return BState(**sel), out
+        return _select_state(out.terminated, st, fresh), out
     return stepped
