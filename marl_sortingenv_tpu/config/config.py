@@ -79,6 +79,15 @@ class SimConfig:
     #            HBM write traffic of the step (the bale buffers).
     bale_mode: str = "full"
     max_press_events: int = 36  # >= floor(T/12)+floor(T/15)+slack for T=200
+    # Sorting-redistribution implementation of the batch-last engine:
+    # "auto"   — fused Pallas kernel (ops/sort_pallas.py) on TPU when the
+    #            env batch fills whole 128-lane rows, XLA otherwise;
+    # "pallas"/"xla" force the choice.  Both are bitwise-identical
+    # (tests/test_sort_pallas.py); the kernel collapses ~300 small serial
+    # VPU ops (threefry chain + 12 hypergeometric inverse-CDF draws) into
+    # one VMEM-resident dispatch.  Use "xla" for pjit-sharded fastb
+    # rollouts (pallas_call is opaque to the SPMD partitioner).
+    sort_kernel: str = "auto"
 
     @property
     def press_times(self) -> Tuple[int, int]:

@@ -414,20 +414,51 @@ def _update_accuracy(cfg: SimConfig, st: BState) -> BState:
     return st._replace(acc_belt=jnp.clip(acc + noise, 0.0, 1.0), key=key)
 
 
+def _use_sort_kernel(cfg: SimConfig, n_envs: int) -> bool:
+    """Trace-time choice of the fused Pallas sort kernel.
+
+    "auto" enables it on a TPU backend when the batch fills whole
+    128-lane rows; "pallas"/"xla" force it.  The kernel is
+    bitwise-identical to the XLA path (tests/test_sort_pallas.py,
+    artifacts/sort_pallas_ab.py), so this is purely a scheduling choice.
+    Caveat: a pallas_call is opaque to XLA's SPMD partitioner — for
+    pjit-sharded fastb rollouts over a mesh, force sort_kernel="xla"
+    (the parallel tests and dryrun path use it)."""
+    mode = getattr(cfg, "sort_kernel", "auto")
+    if mode == "xla":
+        return False
+    ok = n_envs % 128 == 0 and n_envs >= 128
+    if mode == "pallas":
+        if not ok:
+            raise ValueError(
+                f"sort_kernel='pallas' needs n_envs % 128 == 0, got {n_envs}")
+        return True
+    return ok and jax.default_backend() == "tpu"
+
+
 def _sort_material(cfg: SimConfig, st: BState):
     total_input = st.sort_counts.sum(axis=0)              # (N,)
     key = st.key
     support = _support_for(cfg)
-    # pre-draw the 12 uniforms with the same key tree _mvhg4 used inline
-    # (bit-identical trajectories), then run the shared redistribution core
-    us = []
-    for _ in range(4):
-        ks = _vsplit(key)
-        key, sk = ks[:, 0], ks[:, 1]
-        k3 = _vsplit(sk, 3)
-        us.extend(_vuniform(k3[:, j]) for j in range(3))
-    leftover, true_arr, false_arr = redistribute_u(
-        st.sort_counts, st.acc_sorter, jnp.stack(us), support)
+    if _use_sort_kernel(cfg, st.sort_counts.shape[1]):
+        # fused Pallas kernel: the whole chain (threefry splits, uniform
+        # draws, 12 inverse-CDF hypergeometric samples) in one VMEM
+        # kernel — bitwise-identical, ~1.5x faster (ops/sort_pallas.py)
+        from ..ops import sort_pallas
+        leftover, true_arr, false_arr, key = sort_pallas.sort_material_fused(
+            st.sort_counts, st.acc_sorter, key, support=support)
+    else:
+        # pre-draw the 12 uniforms with the same key tree _mvhg4 used
+        # inline (bit-identical trajectories), then run the shared
+        # redistribution core
+        us = []
+        for _ in range(4):
+            ks = _vsplit(key)
+            key, sk = ks[:, 0], ks[:, 1]
+            k3 = _vsplit(sk, 3)
+            us.extend(_vuniform(k3[:, j]) for j in range(3))
+        leftover, true_arr, false_arr = redistribute_u(
+            st.sort_counts, st.acc_sorter, jnp.stack(us), support)
 
     e_input = leftover.sum(axis=0).astype(I32)
     cont_true = st.cont_true.at[:4].add(true_arr)

@@ -1,0 +1,227 @@
+"""Fused Pallas TPU kernel for ``core.fastb._sort_material``'s hot core.
+
+Reference behavior: ``env_super.py`` ``sort_material`` — each of the 4
+sorting stations splits its belt segment into correctly/incorrectly
+sorted units (rint(target*accuracy)), then redistributes the mis-sorted
+units over the remaining stations by a multivariate hypergeometric draw.
+The XLA path (``fastb._sort_material`` + ``fastb.redistribute_u``)
+implements this as ~300 small serial VPU ops per step: an 8-deep
+threefry split chain, 12 uniform draws, and 12 inverse-CDF
+hypergeometric samples — at 4096 envs it is latency-bound on op issue,
+not on arithmetic (63% of the event-mode step, artifacts/ablate3.log).
+
+This kernel runs the WHOLE chain — threefry RNG and sampler — in one
+``pallas_call``: everything stays in VMEM/registers, one dispatch, no
+fusion boundaries.  Bitwise-identical to the XLA path by construction:
+
+* the threefry2x32 implementation reproduces jax.random's partitionable
+  semantics exactly (``split(key, n)`` row i = block with 64-bit counter
+  (0, i); 32-bit ``random_bits`` word = o0 ^ o1 of block (0, 0); uniform
+  = bitcast((bits >> 9) | 0x3f800000) - 1) — validated bitwise against
+  ``jax.random`` in ``artifacts/threefry_proto.py`` and in
+  ``tests/test_sort_pallas.py``;
+* the sampler mirrors ``fastb._hypergeom_u`` op for op, including the
+  Hillis-Steele prefix-product/-sum association, so float rounding is
+  identical.
+
+Layout: the env batch N is reshaped to (BS, 128) = (sublanes, lanes) so
+every vector op runs with full 8x128 VPU utilization (a (2, N) op wastes
+6/8 sublanes; a (2, BS, 128) op wastes none).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+I32 = jnp.int32
+F32 = jnp.float32
+
+_ROT_EVEN = (13, 15, 26, 6)
+_ROT_ODD = (17, 29, 16, 24)
+_ROTS = (_ROT_EVEN, _ROT_ODD, _ROT_EVEN, _ROT_ODD, _ROT_EVEN)
+
+
+def _rotl(x, r):
+    return (x << U32(r)) | (x >> U32(32 - r))
+
+
+def _threefry(k0, k1, c0, c1):
+    """threefry2x32 block(s): keys/counters broadcastable u32 arrays.
+
+    Bit-exact mirror of jax._src.prng.threefry2x32 (validated in
+    artifacts/threefry_proto.py)."""
+    ks = (k0, k1, k0 ^ k1 ^ U32(0x1BD11BDA))
+    x0 = c0 + ks[0]
+    x1 = c1 + ks[1]
+    for grp in range(5):
+        for r in _ROTS[grp]:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x0 ^ x1
+        i = grp + 1
+        x0 = x0 + ks[i % 3]
+        x1 = x1 + ks[(i + 1) % 3] + U32(i)
+    return x0, x1
+
+
+def _bits_to_unit_f32(bits):
+    """jax.random.uniform's bits->[0,1) conversion, bit-exact."""
+    f = lax.bitcast_convert_type((bits >> U32(9)) | U32(0x3F800000), F32)
+    return f - F32(1.0)
+
+
+def _roll0(x, s):
+    """Circular shift by s along the (untiled) leading axis — pure
+    permutation, bit-exact equivalent of jnp.roll(x, s, axis=0).
+    Static slices only (dynamic_slice doesn't lower in Mosaic)."""
+    m = x.shape[0]
+    head = lax.slice_in_dim(x, m - s, m, axis=0)
+    tail = lax.slice_in_dim(x, 0, m - s, axis=0)
+    return jnp.concatenate([head, tail], axis=0)
+
+
+def _prefix_prod0(x):
+    """fastb._prefix_prod0 with identical Hillis-Steele association."""
+    idx = lax.broadcasted_iota(I32, x.shape, 0)
+    s = 1
+    while s < x.shape[0]:
+        x = x * jnp.where(idx >= s, _roll0(x, s), F32(1.0))
+        s *= 2
+    return x
+
+
+def _prefix_sum0(x):
+    idx = lax.broadcasted_iota(I32, x.shape, 0)
+    s = 1
+    while s < x.shape[0]:
+        x = x + jnp.where(idx >= s, _roll0(x, s), F32(0.0))
+        s *= 2
+    return x
+
+
+def _hg_u(u, N, K, n, support):
+    """fastb._hypergeom_u op-for-op on (BS, L) operands with a
+    (support, BS, L) pmf."""
+    Nf = jnp.maximum(N, 1).astype(F32)[None]
+    ks = lax.broadcasted_iota(I32, (support,) + u.shape, 0)
+    kf = ks.astype(F32)
+    Kf = K.astype(F32)[None]
+    nf = n.astype(F32)[None]
+    lo = jnp.maximum(0, n - (N - K))
+    hi = jnp.minimum(K, n)
+    num = (Kf - kf) * (nf - kf)
+    den = (kf + 1.0) * (Nf - Kf - nf + kf + 1.0)
+    in_band = (ks >= lo[None]) & (ks < hi[None])
+    ratio = jnp.where(in_band, num / den, F32(1.0))
+    pp = _prefix_prod0(ratio)
+    pmf = jnp.concatenate([jnp.ones((1,) + u.shape, F32), pp[:-1]], axis=0)
+    valid = (ks >= lo[None]) & (ks <= hi[None])
+    pmf = jnp.where(valid, pmf, F32(0.0))
+    cdf = _prefix_sum0(pmf)
+    last = lax.squeeze(
+        lax.slice_in_dim(cdf, support - 1, support, axis=0), (0,))
+    us = u * last
+    x = jnp.sum((cdf < us[None]).astype(I32), axis=0)
+    return jnp.clip(x, lo, hi)
+
+
+def _kernel(counts_ref, acc_ref, key_ref, leftover_ref, true_ref,
+            false_ref, newkey_ref, *, support):
+    k0 = key_ref[0]                       # (BS, L) u32
+    k1 = key_ref[1]
+
+    # --- RNG section: the exact _sort_material key chain -------------
+    # per station: ks = split(key, 2); key, sk = ks[0], ks[1]
+    #              k3 = split(sk, 3); u_j = uniform(k3[j])
+    us = []                               # 12 x (BS, L) f32, station-major
+    shape2 = (2,) + k0.shape
+    shape3 = (3,) + k0.shape
+    lo2 = lax.broadcasted_iota(U32, shape2, 0)
+    lo3 = lax.broadcasted_iota(U32, shape3, 0)
+    z2 = jnp.zeros(shape2, U32)
+    z3 = jnp.zeros(shape3, U32)
+    for _ in range(4):
+        o0, o1 = _threefry(k0[None], k1[None], z2, lo2)    # split2
+        k0, k1 = o0[0], o1[0]
+        s0, s1 = o0[1], o1[1]
+        p0, p1 = _threefry(s0[None], s1[None], z3, lo3)    # split3
+        q0, q1 = _threefry(p0, p1, z3, z3)                 # 3 x bits(0,0)
+        u = _bits_to_unit_f32(q0 ^ q1)
+        us.extend(u[j] for j in range(3))
+    newkey_ref[0] = k0
+    newkey_ref[1] = k1
+
+    # --- sampler section: fastb.redistribute_u op-for-op -------------
+    leftover = [counts_ref[i] for i in range(4)]
+    acc = [acc_ref[i] for i in range(4)]
+    for i in range(4):
+        target = leftover[i]
+        true_val = jnp.rint(target.astype(F32) * acc[i]).astype(I32)
+        false_val = target - true_val
+        true_ref[i] = true_val
+        false_ref[i] = false_val
+        leftover[i] = false_val
+        # _mvhg4_u over the 4 leftover categories
+        N = leftover[0] + leftover[1] + leftover[2] + leftover[3]
+        n = jnp.minimum(false_val, N)
+        d0 = _hg_u(us[3 * i], N, leftover[0], n, support)
+        N1 = N - leftover[0]
+        n1 = n - d0
+        d1 = _hg_u(us[3 * i + 1], N1, leftover[1], n1, support)
+        N2 = N1 - leftover[1]
+        n2 = n1 - d1
+        d2 = _hg_u(us[3 * i + 2], N2, leftover[2], n2, support)
+        d3 = n2 - d2
+        leftover[0] = leftover[0] - d0
+        leftover[1] = leftover[1] - d1
+        leftover[2] = leftover[2] - d2
+        leftover[3] = leftover[3] - d3
+    for i in range(4):
+        leftover_ref[i] = leftover[i]
+
+
+def supported(n_envs: int) -> bool:
+    """The kernel requires the env batch to fill whole 128-lane rows."""
+    return n_envs % 128 == 0 and n_envs >= 128
+
+
+@partial(jax.jit, static_argnames=("support", "interpret"))
+def sort_material_fused(counts, acc, keys, support=16, interpret=False):
+    """Fused _sort_material core.
+
+    counts: i32[4, N]; acc: f32[4, N]; keys: u32[N, 2] (fastb layout).
+    Returns (leftover, true_arr, false_arr) i32[4, N] and new_keys
+    u32[N, 2] — bitwise-identical to drawing the 12 uniforms through
+    fastb's _vsplit/_vuniform chain and calling fastb.redistribute_u.
+    """
+    n = counts.shape[1]
+    if not supported(n):
+        raise ValueError(f"n_envs={n} not a multiple of 128")
+    bs = n // 128
+    c3 = counts.reshape(4, bs, 128)
+    a3 = acc.reshape(4, bs, 128)
+    k3 = keys.T.reshape(2, bs, 128)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32),
+        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32),
+        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32),
+        jax.ShapeDtypeStruct((2, bs, 128), jnp.uint32),
+    ]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    leftover, true_arr, false_arr, newkey = pl.pallas_call(
+        partial(_kernel, support=support),
+        out_shape=out_shape,
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec, spec, spec],
+        interpret=interpret,
+    )(c3, a3, k3)
+    return (leftover.reshape(4, n), true_arr.reshape(4, n),
+            false_arr.reshape(4, n), newkey.reshape(2, n).T)
