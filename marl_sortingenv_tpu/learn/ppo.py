@@ -178,8 +178,13 @@ def spec_for(name: str, engine: str = "parity") -> VariantSpec:
 
 
 class Transition(NamedTuple):
-    obs: jax.Array      # [T, N, obs_dim] f32
-    mask: jax.Array     # [T, N, A] bool
+    """Rollout buffer, BATCH-LAST for obs/mask: the fastb engine builds
+    obs/masks feature-major (feat, N) natively, and the PPO update wants
+    feature-major minibatches (MXU contraction-dim-major; see _loss_fn)
+    — storing them batch-first made the rollout scan emit feature-minor
+    layouts that degraded the whole update loop ~10x."""
+    obs: jax.Array      # [T, obs_dim, N] f32
+    mask: jax.Array     # [T, A, N] bool
     action: jax.Array   # [T, N] i32
     logp: jax.Array     # [T, N] f32
     value: jax.Array    # [T, N] f32
@@ -200,10 +205,16 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(pcfg: PPOConfig):
-    return optax.chain(
+    # optax.flatten: run clip+adam on ONE raveled parameter vector
+    # instead of the 12-leaf ACParams pytree — the actor-critic is tiny
+    # (~3.3k params), so per-leaf Adam is ~100 microscopic ops per grad
+    # step and pure dispatch latency on TPU; flattened it is ~10 ops.
+    # Same elementwise math (global-norm association differs by leaf
+    # concatenation order only; the learner is not a bit-parity surface).
+    return optax.flatten(optax.chain(
         optax.clip_by_global_norm(pcfg.max_grad_norm),
         optax.adam(pcfg.learning_rate, eps=pcfg.adam_eps),
-    )
+    ))
 
 
 def init_train_state(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
@@ -235,7 +246,12 @@ def _sample(params, obs, mask, key):
     logits = mlp.masked_logits(logits, mask)
     logp_all = jax.nn.log_softmax(logits, axis=-1)
     action = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
-    logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1)[..., 0]
+    # one-hot select == take_along_axis bitwise (single nonzero addend)
+    # but avoids the slow per-row dynamic gather lowering on TPU
+    onehot = (lax.broadcasted_iota(jnp.int32, logp_all.shape,
+                                   logp_all.ndim - 1)
+              == action[..., None])
+    logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=-1)
     value = mlp.value_fn(params, obs)
     return action, logp, value
 
@@ -261,8 +277,10 @@ def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
         acc = acc + out.reward.astype(acc.dtype)
         last_ret = jnp.where(out.terminated, acc, last_ret)
         acc = jnp.where(out.terminated, 0.0, acc)
+        # store batch-last: for fastb the .T cancels the engine's own
+        # trailing transpose (obs/masks are built (feat, N) natively)
         tr = Transition(
-            obs=obs, mask=mask, action=action, logp=logp, value=value,
+            obs=obs.T, mask=mask.T, action=action, logp=logp, value=value,
             reward=out.reward.astype(F32), done=out.terminated,
         )
         return (env_state, out.obs, key, acc, last_ret), tr
@@ -300,11 +318,26 @@ def compute_gae(pcfg: PPOConfig, trs: Transition, last_value):
 
 
 def _loss_fn(params, pcfg: PPOConfig, batch):
+    """PPO clipped loss on a BATCH-LAST minibatch: obs (D, B), mask
+    (A, B), action/old_logp/advantage/ret (B,).
+
+    Feature-major operands are the MXU's preferred layout (contraction
+    dim major); with batch-first minibatches XLA transposed every
+    gathered minibatch and ran the elementwise chain in degenerate
+    layouts — ~200us/grad-step for a ~2us computation (see
+    artifacts/profile_train5.py)."""
     obs, mask, action, old_logp, advantage, ret = batch
-    logits = mlp.masked_logits(mlp.policy_logits(params, obs), mask)
-    logp_all = jax.nn.log_softmax(logits, axis=-1)
-    logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1)[..., 0]
-    value = mlp.value_fn(params, obs)
+    logits = mlp.masked_logits(mlp.policy_logits_bl(params, obs), mask)
+    logp_all = jax.nn.log_softmax(logits, axis=0)          # (A, B)
+    # one-hot select instead of take_along_axis: the per-column gather
+    # along the sublane axis lowers to ~166us/minibatch on TPU (>80% of
+    # the whole update's device time); the masked sum is bitwise the
+    # same value (one nonzero addend) at ~1/100th the cost
+    # (artifacts/profile_train7.py bisection)
+    onehot = (lax.broadcasted_iota(jnp.int32, logp_all.shape, 0)
+              == action[None, :])
+    logp = jnp.sum(jnp.where(onehot, logp_all, 0.0), axis=0)
+    value = mlp.value_fn_bl(params, obs)
 
     if pcfg.normalize_advantage:
         advantage = (advantage - advantage.mean()) / (advantage.std() + 1e-8)
@@ -320,7 +353,7 @@ def _loss_fn(params, pcfg: PPOConfig, batch):
     # masked-categorical entropy: invalid actions have p ~= 0
     p = jnp.exp(logp_all)
     ent_terms = jnp.where(mask, p * logp_all, 0.0)
-    entropy = -jnp.sum(ent_terms, axis=-1).mean()
+    entropy = -jnp.sum(ent_terms, axis=0).mean()
 
     loss = (policy_loss
             + pcfg.vf_coef * value_loss
@@ -354,16 +387,29 @@ def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
     n_blocks = total // block
     mb_blocks = mb_size // block
 
-    # [n_blocks, block, feat...]: gathering on the leading axis moves
-    # contiguous (block * feat)-byte slabs
-    flat = (
-        trs.obs.reshape(n_blocks, block, -1),
-        trs.mask.reshape(n_blocks, block, -1),
-        trs.action.reshape(n_blocks, block),
-        trs.logp.reshape(n_blocks, block),
-        advantages.reshape(n_blocks, block).astype(F32),
-        returns.reshape(n_blocks, block).astype(F32),
-    )
+    # Pack the whole flattened batch into ONE BATCH-LAST f32 buffer of
+    # [D + A + 4, n_blocks, block]: a single gather per minibatch
+    # (axis 1) instead of six, feature-major so the minibatch lands
+    # directly in the layout the MXU wants (contraction dim major) with
+    # the batch on the 128-lane axis — no per-minibatch transposed
+    # copies, no feature-minor lane padding.  The f32 round-trips are
+    # exact: mask as 0.0/1.0, action ints < 2^24.
+    D = trs.obs.shape[1]
+    A = trs.mask.shape[1]
+    packed = jnp.concatenate([
+        jnp.moveaxis(trs.obs, 0, 1).reshape(D, total),
+        jnp.moveaxis(trs.mask, 0, 1).reshape(A, total).astype(F32),
+        trs.action.reshape(1, total).astype(F32),
+        trs.logp.reshape(1, total),
+        advantages.reshape(1, total).astype(F32),
+        returns.reshape(1, total).astype(F32),
+    ], axis=0).reshape(D + A + 4, n_blocks, block)
+
+    def unpack(g):
+        return (g[:D], g[D:D + A] > 0.5,
+                g[D + A].astype(jnp.int32), g[D + A + 1],
+                g[D + A + 2], g[D + A + 3])
+
     optimizer = make_optimizer(pcfg)
     grad_fn = jax.grad(_loss_fn, has_aux=True)
 
@@ -375,8 +421,13 @@ def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
 
         def minibatch(carry, idx):
             params, opt_state = carry
-            batch = tuple(
-                x[idx].reshape((mb_size,) + x.shape[2:]) for x in flat)
+            g = jnp.take(packed, idx, axis=1).reshape(-1, mb_size)
+            # materialize the gathered minibatch: without the barrier XLA
+            # fuses the gather into the first-layer dot_general's operand,
+            # which knocks it off the MXU fast path (166us vs ~4us for
+            # the gather + clean matmul; artifacts/profile_train5.py)
+            g = lax.optimization_barrier(g)
+            batch = unpack(g)
             grads, stats = grad_fn(params, pcfg, batch)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -107,6 +107,31 @@ def masked_logits(logits, mask):
     return jnp.where(mask, logits, neg)
 
 
+# --- batch-last (feature-major) forwards -----------------------------------
+# Same math as policy_logits/value_fn but on (feat, batch) operands:
+# w.T @ h contracts the identical K sequence, so the MXU accumulation
+# matches; the layout matches the MXU's operand preference (contraction
+# dim major), which removes the per-minibatch transposed copies XLA
+# otherwise inserts in the PPO update loop (see learn/ppo.py).
+
+def _tower_bl(layers, x):
+    for lyr in layers:
+        x = jnp.tanh(lyr.w.T @ x + lyr.b[:, None])
+    return x
+
+
+def policy_logits_bl(params: ACParams, obs_bl) -> jax.Array:
+    """Action logits for a batch-last obs (D, B) -> (A, B)."""
+    h = _tower_bl(params.pi, jnp.asarray(obs_bl, jnp.float32))
+    return params.action.w.T @ h + params.action.b[:, None]
+
+
+def value_fn_bl(params: ACParams, obs_bl) -> jax.Array:
+    """Values for a batch-last obs (D, B) -> (B,)."""
+    h = _tower_bl(params.vf, jnp.asarray(obs_bl, jnp.float32))
+    return (params.value.w.T @ h + params.value.b[:, None])[0]
+
+
 def predict_deterministic(params: ACParams, obs, mask=None) -> jax.Array:
     """SB3 ``predict(deterministic=True)``: argmax over (masked) logits."""
     logits = policy_logits(params, obs)

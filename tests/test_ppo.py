@@ -51,12 +51,13 @@ def test_rollout_shapes_and_masks_respected():
     step_fn = spec.step_fn(None, True)
     ts, trs, last_value = jax.jit(
         lambda ts: ppo.collect_rollout(CFG, pcfg, spec, ts, step_fn))(ts)
-    assert trs.obs.shape == (12, 4, 29)
-    assert trs.mask.shape == (12, 4, 22)
+    # batch-last transitions: obs [T, D, N], mask [T, A, N]
+    assert trs.obs.shape == (12, 29, 4)
+    assert trs.mask.shape == (12, 22, 4)
     assert trs.action.shape == (12, 4)
     # sampled actions always valid under the mask
     chosen_valid = np.take_along_axis(
-        np.asarray(trs.mask), np.asarray(trs.action)[..., None], axis=-1)
+        np.asarray(trs.mask), np.asarray(trs.action)[:, None, :], axis=1)
     assert chosen_valid.all()
 
 
