@@ -151,6 +151,29 @@ def bench_train_iteration(cfg, n_envs):
     return sps, sps / steps_per_iter
 
 
+def bench_train_run(cfg, n_envs, seg=8):
+    """The production training-loop shape: `seg` PPO iterations per
+    jitted lax.scan dispatch (ppo.make_train_run — what the trainer
+    actually dispatches).  Removes the ~1.7 ms/call host dispatch gap
+    that per-iteration dispatch pays on the tunneled client."""
+    from marl_sortingenv_tpu.learn import ppo
+
+    pcfg = ppo.PPOConfig(n_steps=TRAIN_N_STEPS, batch_size=TRAIN_BATCH,
+                         n_epochs=TRAIN_EPOCHS,
+                         shuffle_block=TRAIN_SHUFFLE_BLOCK)
+    spec = ppo.spec_for("mono", engine="fastb")
+    ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=n_envs, seed=0)
+    it = ppo.make_train_run(cfg, pcfg, spec, seg)
+
+    def run(ts):
+        ts, stats = it(ts)
+        return ts, stats["loss"][-1]
+
+    steps_per_call = n_envs * TRAIN_N_STEPS * seg
+    sps = _time_chain(run, ts, steps_per_call, chain=2)
+    return sps, sps / (n_envs * TRAIN_N_STEPS)
+
+
 def bench_protocol(cfg):
     """Wall-clock for the reference training protocol: 3-stage flow
     (sort -> press[frozen sort] -> mono), 100k timesteps each
@@ -188,6 +211,8 @@ def main():
     fused = bench_fused_policy(cfg)
     train_sps, train_ups = bench_train_iteration(cfg, N_ENVS)
     train8_sps, train8_ups = bench_train_iteration(cfg, 2 * N_ENVS)
+    trun_sps, trun_ups = bench_train_run(cfg, N_ENVS)
+    trun8_sps, trun8_ups = bench_train_run(cfg, 2 * N_ENVS)
 
     extra = {
         "mono_rule_full_bale_env_steps_per_sec": round(rule_full, 1),
@@ -196,6 +221,10 @@ def main():
         "train_iter_updates_per_sec": round(train_ups, 4),
         "train_iter_8192_env_steps_per_sec": round(train8_sps, 1),
         "train_iter_8192_updates_per_sec": round(train8_ups, 4),
+        "train_run_env_steps_per_sec": round(trun_sps, 1),
+        "train_run_updates_per_sec": round(trun_ups, 4),
+        "train_run_8192_env_steps_per_sec": round(trun8_sps, 1),
+        "train_run_8192_updates_per_sec": round(trun8_ups, 4),
         "train_iter_config": {
             "n_envs": N_ENVS, "n_steps": TRAIN_N_STEPS,
             "batch_size": TRAIN_BATCH, "n_epochs": TRAIN_EPOCHS,

@@ -468,6 +468,33 @@ def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
     return jax.jit(train_iteration, donate_argnums=(0,) if donate else ())
 
 
+def make_train_run(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
+                   n_iters: int, sort_policy=None,
+                   use_action_masking=True):
+    """``n_iters`` PPO iterations as ONE jitted ``lax.scan`` dispatch.
+
+    The per-iteration device time is ~5 ms at 4096 envs but each host
+    dispatch costs ~1.7 ms on a tunneled TPU client, so per-iteration
+    dispatch leaves ~25% of the chip idle; production training loops
+    should dispatch segments (the trainer evals/logs on segment
+    boundaries).  Returns ``(ts, stats)`` with each stats leaf stacked
+    ``[n_iters]`` so per-iteration history is preserved."""
+    step_fn = spec.step_fn(sort_policy, use_action_masking)
+
+    def segment(ts: TrainState):
+        def body(ts, _):
+            ts, trs, last_value = collect_rollout(
+                cfg, pcfg, spec, ts, step_fn, use_action_masking)
+            advantages, returns = compute_gae(pcfg, trs, last_value)
+            ts, stats = ppo_update(pcfg, ts, trs, advantages, returns)
+            stats["mean_episode_return"] = ts.last_ep_return.mean()
+            return ts, stats
+
+        return lax.scan(body, ts, None, length=n_iters)
+
+    return jax.jit(segment)
+
+
 def evaluate(cfg: SimConfig, spec: VariantSpec, params, n_envs: int,
              n_steps: int, seed0: int = 10_000, sort_policy=None,
              use_action_masking: bool = True, deterministic: bool = True,

@@ -86,10 +86,25 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
         # warm start (fresh optimizer state): lets interrupted long runs
         # continue from their durable best checkpoint
         ts = ts._replace(params=init_params)
-    it = ppo.make_train_iteration(cfg, pcfg, spec, sort_policy, masking)
-
     samples_per_iter = pcfg.n_steps * n_envs
     n_iters = max(1, total_timesteps // samples_per_iter)
+
+    # Dispatch iterations in SEGMENTS (one jitted lax.scan per segment,
+    # ppo.make_train_run): per-iteration dispatch leaves the chip idle
+    # between ~5 ms programs.  Segment lengths are cut so evals land on
+    # exactly the same iteration as the per-iteration loop did; at most
+    # a handful of distinct lengths compile (cached thereafter).
+    seg_cap = 8
+    iters_per_eval = max(1, -(-eval_freq // samples_per_iter))
+    runs = {}
+
+    def run_segment(ts, k):
+        until_eval = iters_per_eval - (k % iters_per_eval)
+        n = min(seg_cap, until_eval, n_iters - k)
+        if n not in runs:
+            runs[n] = ppo.make_train_run(cfg, pcfg, spec, n,
+                                         sort_policy, masking)
+        return runs[n](ts), n
 
     best_eval = -np.inf
     best_params = ts.params
@@ -97,16 +112,22 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
     next_eval = eval_freq
     t0 = time.time()
 
-    for k in range(n_iters):
-        ts, stats = it(ts)
-        steps_done = (k + 1) * samples_per_iter
-        history.append({
-            "steps": steps_done,
-            **{kk: float(v) for kk, v in stats.items()},
-        })
-        if logger is not None:
-            logger.log(steps_done, {f"train/{kk}": float(v)
-                                    for kk, v in stats.items()})
+    k = 0
+    while k < n_iters:
+        (ts, seg_stats), n = run_segment(ts, k)
+        seg_stats = {kk: np.asarray(v) for kk, v in seg_stats.items()}
+        for j in range(n):
+            steps_done = (k + j + 1) * samples_per_iter
+            stats = {kk: v[j] for kk, v in seg_stats.items()}
+            history.append({
+                "steps": steps_done,
+                **{kk: float(v) for kk, v in stats.items()},
+            })
+            if logger is not None:
+                logger.log(steps_done, {f"train/{kk}": float(v)
+                                        for kk, v in stats.items()})
+        k += n
+        steps_done = k * samples_per_iter
         if steps_done >= next_eval:
             next_eval += eval_freq
             rets = np.asarray(ppo.evaluate(

@@ -159,3 +159,27 @@ def test_mono_agent_learning_regression_floor():
     r1 = ev(ts.params)
     assert r1 >= -70.0, (r0, r1)
     assert r1 > r0 + 20.0, (r0, r1)
+
+
+def test_train_run_matches_per_iteration():
+    """make_train_run (scanned segment) must be semantically identical to
+    repeated make_train_iteration dispatches."""
+    pcfg = ppo.PPOConfig(n_steps=8, batch_size=16, n_epochs=2)
+    spec = ppo.spec_for("mono", engine="fastb")
+    ts_a = ppo.init_train_state(CFG, pcfg, spec, n_envs=4, seed=7)
+    ts_b = ppo.init_train_state(CFG, pcfg, spec, n_envs=4, seed=7)
+
+    it = ppo.make_train_iteration(CFG, pcfg, spec)
+    losses = []
+    for _ in range(3):
+        ts_a, stats = it(ts_a)
+        losses.append(float(stats["loss"]))
+
+    run = ppo.make_train_run(CFG, pcfg, spec, 3)
+    ts_b, seg_stats = run(ts_b)
+    np.testing.assert_allclose(np.asarray(seg_stats["loss"]),
+                               np.asarray(losses), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ts_a.params.action.w), np.asarray(ts_b.params.action.w),
+        rtol=1e-5, atol=1e-7)
+    assert seg_stats["mean_episode_return"].shape == (3,)
