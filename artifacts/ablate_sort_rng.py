@@ -14,6 +14,13 @@ data-flow intact (so nothing else gets DCE'd) while removing one half:
 
 Also ablates the key-splitting in _generate_input / _update_accuracy to
 see the step's total threefry budget.
+
+CAVEAT (round-3 finding, artifacts/profile_train7.py): wall timings
+via jax.block_until_ready are UNRELIABLE on the tunneled TPU client
+(early return / ~22 ms poll quantization) and this script also ran
+under CPU contention; its absolute numbers are bogus.  Kept for the
+ablation STRUCTURE only — use jax.profiler device timelines
+(profile_train7.py pattern) for trustworthy sub-ms measurements.
 """
 import sys
 import time

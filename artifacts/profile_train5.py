@@ -2,6 +2,12 @@
 64 steps, batch 16384, shuffle_block 128): gather-only vs grad-only vs
 full minibatch step, plus the packed-buffer build, each as an on-device
 chained scan with one fence.
+
+CAVEAT (see profile_train7.py): the sub-ms wall timings below are
+UNRELIABLE on the tunneled client — block_until_ready returned
+before device completion for small programs, making several rows
+impossibly fast.  The profiler-based bisection in profile_train7.py
+supersedes these numbers; kept as the record of the hunt.
 """
 import sys
 import time

@@ -1,6 +1,10 @@
 """Bisect the real ppo_update (slow, ~19ms) against the structurally
 identical synthetic repro (fast, ~0.1ms/epoch).  Variants strip one
 difference at a time.  All on real rollout outputs.
+
+CAVEAT (see profile_train7.py): wall timings here are fence-limited
+(~22 ms completion-poll quantum) — use the profiler-based variant
+comparison in profile_train7.py for real device numbers.
 """
 import sys
 import time

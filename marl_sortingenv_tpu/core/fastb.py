@@ -427,11 +427,13 @@ def _use_sort_kernel(cfg: SimConfig, n_envs: int) -> bool:
     mode = getattr(cfg, "sort_kernel", "auto")
     if mode == "xla":
         return False
-    ok = n_envs % 128 == 0 and n_envs >= 128
+    from ..ops import sort_pallas
+    ok = sort_pallas.supported(n_envs)
     if mode == "pallas":
         if not ok:
             raise ValueError(
-                f"sort_kernel='pallas' needs n_envs % 128 == 0, got {n_envs}")
+                "sort_kernel='pallas' needs n_envs % 128 == 0 and "
+                f"n_envs <= 32768 (VMEM working set), got {n_envs}")
         return True
     return ok and jax.default_backend() == "tpu"
 

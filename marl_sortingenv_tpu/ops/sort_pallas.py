@@ -188,8 +188,13 @@ def _kernel(counts_ref, acc_ref, key_ref, leftover_ref, true_ref,
 
 
 def supported(n_envs: int) -> bool:
-    """The kernel requires the env batch to fill whole 128-lane rows."""
-    return n_envs % 128 == 0 and n_envs >= 128
+    """The kernel requires the env batch to fill whole 128-lane rows,
+    and the single-program form holds its (support, N/128, 128) pmf
+    buffers wholly in VMEM — cap the batch so the working set stays
+    well under the ~16 MB/core budget (at 32768 envs the sampler's
+    ~6 live (16, 256, 128) f32 buffers are ~12 MB).  Larger batches
+    fall back to the XLA path (shard the batch over a mesh instead)."""
+    return n_envs % 128 == 0 and 128 <= n_envs <= 32768
 
 
 @partial(jax.jit, static_argnames=("support", "interpret"))
