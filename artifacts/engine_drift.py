@@ -53,7 +53,27 @@ for eng in ("fast", "fastb"):
             press_params=pp, mono_params=mp,
             use_action_masking=True).items()}
 
+# SELF-ASSERTING (VERDICT r3 next-round #4): the artifact must describe
+# the code that generated it.  Enforce the SAME 3-combined-SE bands the
+# suite enforces (tests/test_engine_benchmark.py:47-75) before writing,
+# so a stale or drifted artifact can never be (re)published.
+import numpy as np
+
+failures = []
+for eng in ("fast", "fastb"):
+    blk = table[f"{eng}1000"]
+    for key, p in table["parity50"].items():
+        f_mean, f_std, n = blk[key]["mean"], blk[key]["std"], blk[key]["n"]
+        se = np.sqrt(p["std"] ** 2 / p["n"] + f_std ** 2 / n)
+        if abs(f_mean - p["mean"]) > 3.0 * se:
+            failures.append((eng, key, f_mean, p["mean"], 3.0 * se))
+if failures:
+    raise AssertionError(
+        "engine drift outside the 3-SE band; NOT writing the artifact: "
+        f"{failures}")
+
 out = os.path.join(HERE, "engine_drift.json")
 with open(out, "w") as f:
     json.dump(table, f, indent=2)
 print(json.dumps(table, indent=2))
+print("3-SE band self-check PASS for fast1000/fastb1000 vs parity50")

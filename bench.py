@@ -110,6 +110,75 @@ def bench_mono_rule(cfg):
     return _time_chain(run, st, N_ENVS * N_STEPS)
 
 
+def bench_sharded_mono_rule(cfg):
+    """The multi-chip production path on however many devices are
+    attached (one chip in this environment): the fastb env step under
+    ``jax.shard_map`` over a ('dp','tp') mesh
+    (``parallel.fastb_shard.shard_step`` — the Pallas sort kernel runs
+    per shard).  On a 1-device mesh this measures the sharded program
+    shape's overhead vs the unsharded headline row; sharded ==
+    unsharded is asserted bitwise in tests/test_sharding.py."""
+    from marl_sortingenv_tpu.parallel import fastb_shard as FS
+    from marl_sortingenv_tpu.parallel import mesh as M
+
+    mesh = M.make_mesh(tp=1)
+    st = FS.shard_bstate(
+        mesh, FB.reset_batch(cfg, jax.random.PRNGKey(0), N_ENVS))
+    stepped = FS.shard_step(
+        mesh, FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s)),
+        st)
+
+    def body(st, _):
+        st, out = stepped(st, jnp.zeros(N_ENVS, jnp.int32))
+        return st, out.reward.sum()
+
+    run = jax.jit(lambda st: lax.scan(body, st, None, length=N_STEPS))
+    return _time_chain(run, st, N_ENVS * N_STEPS)
+
+
+def assert_sort_kernel_bitwise(cfg):
+    """Re-certify the fused Pallas sort kernel's bitwise-identity claim
+    on the real chip in EVERY driver capture (VERDICT r3 missing #3 —
+    a Mosaic/compiler update could silently break it; the frozen
+    artifacts/sort_pallas_ab.log only proves 2026-08-20's toolchain).
+    One _sort_material draw on a stepped 4096-env state: the XLA draw
+    chain + redistribute_u vs the fused kernel, asserted equal bit for
+    bit (including the advanced keys).  ~1 s."""
+    if jax.default_backend() != "tpu":
+        return f"skipped (backend={jax.default_backend()})"
+    from marl_sortingenv_tpu.ops import sort_pallas as SP
+
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(7), 4096)
+    stepped = jax.jit(
+        FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s)))
+    for _ in range(5):
+        st, _ = stepped(st, jnp.zeros(4096, jnp.int32))
+    support = FB._support_for(cfg)
+
+    @jax.jit
+    def xla_path(st):
+        key = st.key
+        us = []
+        for _ in range(4):
+            ks = FB._vsplit(key)
+            key, sk = ks[:, 0], ks[:, 1]
+            k3 = FB._vsplit(sk, 3)
+            us.extend(FB._vuniform(k3[:, j]) for j in range(3))
+        lo, t, f = FB.redistribute_u(st.sort_counts, st.acc_sorter,
+                                     jnp.stack(us), support)
+        return lo, t, f, key
+
+    lo_x, t_x, f_x, k_x = xla_path(st)
+    lo_p, t_p, f_p, k_p = SP.sort_material_fused(
+        st.sort_counts, st.acc_sorter, st.key, support=support)
+    pairs = [(lo_x, lo_p), (t_x, t_p), (f_x, f_p), (k_x, k_p)]
+    if not all(bool(jnp.array_equal(a, b)) for a, b in pairs):
+        raise AssertionError(
+            "Pallas sort kernel diverged bitwise from the XLA path on "
+            "this chip/toolchain — do not trust kernel-path numbers")
+    return "PASS"
+
+
 def bench_fused_policy(cfg):
     """entry() shape at benchmark scale: masked argmax policy + env step,
     autoreset, one jitted scan."""
@@ -206,8 +275,10 @@ def main():
     # (artifacts/bale_events_ab.log).  The full-materialization row is
     # kept in `extra` for comparability with rounds 1-2.
     cfg = load_config(bale_mode="events")
+    kernel_ab = assert_sort_kernel_bitwise(cfg)
     rule = bench_mono_rule(cfg)
     rule_full = bench_mono_rule(load_config())
+    sharded = bench_sharded_mono_rule(cfg)
     fused = bench_fused_policy(cfg)
     train_sps, train_ups = bench_train_iteration(cfg, N_ENVS)
     train8_sps, train8_ups = bench_train_iteration(cfg, 2 * N_ENVS)
@@ -215,6 +286,8 @@ def main():
     trun8_sps, trun8_ups = bench_train_run(cfg, 2 * N_ENVS)
 
     extra = {
+        "sort_kernel_bitwise_ab": kernel_ab,
+        "sharded_mono_rule_env_steps_per_sec": round(sharded, 1),
         "mono_rule_full_bale_env_steps_per_sec": round(rule_full, 1),
         "fused_policy_env_steps_per_sec": round(fused, 1),
         "train_iter_env_steps_per_sec": round(train_sps, 1),

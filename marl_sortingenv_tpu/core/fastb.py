@@ -420,22 +420,36 @@ def _use_sort_kernel(cfg: SimConfig, n_envs: int) -> bool:
     "auto" enables it on a TPU backend when the batch fills whole
     128-lane rows; "pallas"/"xla" force it.  The kernel is
     bitwise-identical to the XLA path (tests/test_sort_pallas.py,
-    artifacts/sort_pallas_ab.py), so this is purely a scheduling choice.
-    Caveat: a pallas_call is opaque to XLA's SPMD partitioner — for
-    pjit-sharded fastb rollouts over a mesh, force sort_kernel="xla"
-    (the parallel tests and dryrun path use it)."""
+    artifacts/sort_pallas_ab.py, plus a per-capture re-assert in
+    bench.py), so this is purely a scheduling choice.  Two guards:
+
+    * the kernel hardcodes jax.random's PARTITIONABLE threefry
+      semantics; with ``jax_threefry_partitionable`` disabled the XLA
+      path would draw different bits, so "auto" refuses the kernel and
+      "pallas" raises rather than silently break the bitwise claim;
+    * a pallas_call is opaque to XLA's SPMD partitioner, so mesh-sharded
+      fastb rollouts must run the step under ``jax.shard_map``
+      (``parallel.fastb_shard.shard_step`` — inside the shard the state
+      is local and the kernel applies per shard); a pjit-sharded call
+      without shard_map would replicate state through the kernel."""
     mode = getattr(cfg, "sort_kernel", "auto")
     if mode == "xla":
         return False
+    partitionable = bool(jax.config.jax_threefry_partitionable)
+    if mode == "pallas" and not partitionable:
+        raise ValueError(
+            "sort_kernel='pallas' requires jax_threefry_partitionable "
+            "(the kernel reproduces the partitionable threefry stream; "
+            "with the flag off the XLA path draws different bits)")
     from ..ops import sort_pallas
     ok = sort_pallas.supported(n_envs)
     if mode == "pallas":
         if not ok:
             raise ValueError(
                 "sort_kernel='pallas' needs n_envs % 128 == 0 and "
-                f"n_envs <= 32768 (VMEM working set), got {n_envs}")
+                f"n_envs >= 128, got {n_envs}")
         return True
-    return ok and jax.default_backend() == "tpu"
+    return ok and partitionable and jax.default_backend() == "tpu"
 
 
 def _sort_material(cfg: SimConfig, st: BState):

@@ -258,12 +258,26 @@ def _sample(params, obs, mask, key):
 
 def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
                     ts: TrainState, step_fn,
-                    use_action_masking: bool = True
+                    use_action_masking: bool = True, mesh=None
                     ) -> Tuple[TrainState, Transition, jax.Array]:
     """Scan n_steps of policy+env; returns transitions and last values.
     With masking off the policy samples the plain categorical (SB3's
-    non-maskable PPO path) and the env sanitizes invalid actions."""
+    non-maskable PPO path) and the env sanitizes invalid actions.
+
+    ``mesh``: when given (fastb engine only) the env step runs under
+    ``jax.shard_map`` over the mesh's dp axis — the production multi-chip
+    path (``parallel.fastb_shard``); everything else in the rollout is
+    sharding-invariant jit code (partitionable threefry), so the rollout
+    is bitwise identical to the unsharded one."""
     batched = spec.batched_autoreset_step(cfg, step_fn)
+    if mesh is not None:
+        if spec.engine != "fastb":
+            raise ValueError(
+                "mesh-sharded rollouts run on the production fastb "
+                f"engine (got engine={spec.engine!r}); the per-env fast "
+                "engine shards via parallel.mesh.shard_env_state instead")
+        from ..parallel import fastb_shard as FS
+        batched = FS.shard_step(mesh, batched, ts.env_state)
     masks_of = spec.batched_masks(cfg)
     n = ts.obs.shape[0]
     ones = jnp.ones((n, spec.n_actions), bool)
@@ -448,18 +462,24 @@ def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
 
 def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
                          sort_policy=None, use_action_masking=True,
-                         donate: bool = False):
+                         donate: bool = False, mesh=None):
     """One jitted PPO iteration: rollout + GAE + update.
 
     ``donate=True`` donates the incoming TrainState's buffers (the caller
     must use the pattern ``ts, stats = it(ts)`` and never touch the old
     ``ts`` again) — saves the copy of env state + params + opt state every
-    iteration on the production path."""
+    iteration on the production path.
+
+    ``mesh``: dp-shard the fastb env step over the mesh
+    (``parallel.fastb_shard.shard_step``); place the TrainState with
+    ``parallel.fastb_shard.shard_train_state`` first.  The update phase
+    stays ordinary jit code on the (sharded) global transition arrays, so
+    results are bitwise identical to the unsharded iteration."""
     step_fn = spec.step_fn(sort_policy, use_action_masking)
 
     def train_iteration(ts: TrainState):
         ts, trs, last_value = collect_rollout(cfg, pcfg, spec, ts, step_fn,
-                                              use_action_masking)
+                                              use_action_masking, mesh)
         advantages, returns = compute_gae(pcfg, trs, last_value)
         ts, stats = ppo_update(pcfg, ts, trs, advantages, returns)
         stats["mean_episode_return"] = ts.last_ep_return.mean()
@@ -470,21 +490,24 @@ def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
 
 def make_train_run(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
                    n_iters: int, sort_policy=None,
-                   use_action_masking=True):
+                   use_action_masking=True, mesh=None):
     """``n_iters`` PPO iterations as ONE jitted ``lax.scan`` dispatch.
 
-    The per-iteration device time is ~5 ms at 4096 envs but each host
-    dispatch costs ~1.7 ms on a tunneled TPU client, so per-iteration
-    dispatch leaves ~25% of the chip idle; production training loops
-    should dispatch segments (the trainer evals/logs on segment
-    boundaries).  Returns ``(ts, stats)`` with each stats leaf stacked
-    ``[n_iters]`` so per-iteration history is preserved."""
+    Each host dispatch costs ~1.7 ms on a tunneled TPU client; at
+    protocol-scale shapes (16 envs, ~0.5 ms/iteration device time) that
+    gap dominates, so the trainer dispatches segments there.  At ≥4096
+    envs the iteration is ~10 ms of device time and per-iteration
+    dispatch overlaps the gap instead — BENCH_r03 measured segments
+    5-13% SLOWER at 4096/8192 envs — so the trainer picks per-iteration
+    dispatch for large batches (see ``learn.trainer.SEGMENT_MAX_ENVS``).
+    Returns ``(ts, stats)`` with each stats leaf stacked ``[n_iters]``
+    so per-iteration history is preserved."""
     step_fn = spec.step_fn(sort_policy, use_action_masking)
 
     def segment(ts: TrainState):
         def body(ts, _):
             ts, trs, last_value = collect_rollout(
-                cfg, pcfg, spec, ts, step_fn, use_action_masking)
+                cfg, pcfg, spec, ts, step_fn, use_action_masking, mesh)
             advantages, returns = compute_gae(pcfg, trs, last_value)
             ts, stats = ppo_update(pcfg, ts, trs, advantages, returns)
             stats["mean_episode_return"] = ts.last_ep_return.mean()

@@ -30,6 +30,14 @@ from ..utils.metrics import MetricsLogger
 from . import ppo
 
 
+# Env-batch size above which the trainer dispatches PPO iterations one
+# jit call at a time instead of in lax.scan segments: BENCH_r03 measured
+# the segmented scan 5-13% slower at 4096/8192 envs (its win is the
+# dispatch-gap removal, which only matters when the per-iteration device
+# time is comparable to the ~1.7 ms host dispatch — i.e. small batches).
+SEGMENT_MAX_ENVS = 1024
+
+
 @dataclasses.dataclass
 class TrainResult:
     params: mlp.ACParams
@@ -89,22 +97,18 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
     samples_per_iter = pcfg.n_steps * n_envs
     n_iters = max(1, total_timesteps // samples_per_iter)
 
-    # Dispatch iterations in SEGMENTS (one jitted lax.scan per segment,
-    # ppo.make_train_run): per-iteration dispatch leaves the chip idle
-    # between ~5 ms programs.  Segment lengths are cut so evals land on
-    # exactly the same iteration as the per-iteration loop did; at most
-    # a handful of distinct lengths compile (cached thereafter).
+    # Dispatch-mode selection is SHAPE-AWARE (VERDICT r3 weak #1): at
+    # protocol-scale shapes (16 envs, ~0.5 ms device time per iteration)
+    # the ~1.7 ms host-dispatch gap of the tunneled client dominates, so
+    # iterations are batched into SEGMENTS (one jitted lax.scan per
+    # segment, ppo.make_train_run).  At large env batches the iteration
+    # is ~10 ms of device time and back-to-back per-iteration dispatch
+    # already overlaps the gap — BENCH_r03 measured segments 5-13%
+    # SLOWER at 4096/8192 envs (scan carry round-trips through HBM every
+    # iteration) — so those run ppo.make_train_iteration chained.
+    use_segments = n_envs < SEGMENT_MAX_ENVS
     seg_cap = 8
-    iters_per_eval = max(1, -(-eval_freq // samples_per_iter))
     runs = {}
-
-    def run_segment(ts, k):
-        until_eval = iters_per_eval - (k % iters_per_eval)
-        n = min(seg_cap, until_eval, n_iters - k)
-        if n not in runs:
-            runs[n] = ppo.make_train_run(cfg, pcfg, spec, n,
-                                         sort_policy, masking)
-        return runs[n](ts), n
 
     best_eval = -np.inf
     best_params = ts.params
@@ -112,10 +116,39 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
     next_eval = eval_freq
     t0 = time.time()
 
+    def run_segment(ts, k):
+        # cut segments at the iteration where cumulative samples cross
+        # the steps-based eval threshold, so evals/checkpoints land on
+        # EXACTLY the same iteration as a per-iteration loop would
+        # (eval_freq need not divide samples_per_iter)
+        next_eval_iter = max(k + 1, -(-next_eval // samples_per_iter))
+        n = min(next_eval_iter - k, n_iters - k)
+        if use_segments:
+            n = min(n, seg_cap)
+            if n not in runs:
+                runs[n] = ppo.make_train_run(cfg, pcfg, spec, n,
+                                             sort_policy, masking)
+            ts, seg_stats = runs[n](ts)
+            seg_stats = {kk: np.asarray(v) for kk, v in seg_stats.items()}
+            return ts, seg_stats, n
+        # large batches: chained per-iteration dispatch — no lax.scan
+        # carry round-trip, and stats stay on device (async futures)
+        # until the whole chain is queued, so there is still no host
+        # sync inside the chain
+        if 1 not in runs:
+            runs[1] = ppo.make_train_iteration(cfg, pcfg, spec,
+                                               sort_policy, masking)
+        pend = []
+        for _ in range(n):
+            ts, stats = runs[1](ts)
+            pend.append(stats)
+        seg_stats = {kk: np.stack([np.asarray(p[kk]) for p in pend])
+                     for kk in pend[0]}
+        return ts, seg_stats, n
+
     k = 0
     while k < n_iters:
-        (ts, seg_stats), n = run_segment(ts, k)
-        seg_stats = {kk: np.asarray(v) for kk, v in seg_stats.items()}
+        ts, seg_stats, n = run_segment(ts, k)
         for j in range(n):
             steps_done = (k + j + 1) * samples_per_iter
             stats = {kk: v[j] for kk, v in seg_stats.items()}

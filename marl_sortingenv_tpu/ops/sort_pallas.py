@@ -187,14 +187,27 @@ def _kernel(counts_ref, acc_ref, key_ref, leftover_ref, true_ref,
         leftover_ref[i] = leftover[i]
 
 
+_TILE = 64  # sublane rows (= 8192 envs) per grid program; the sampler's
+# ~6 live (support, TILE, 128) f32 pmf/cdf buffers are ~3 MB at
+# support=16 — comfortably inside the ~16 MB/core VMEM budget.
+
+
+def _tile_for(bs: int) -> int:
+    """Largest divisor of ``bs`` that is <= _TILE (grid programs must
+    cover the sublane axis exactly)."""
+    for t in range(min(bs, _TILE), 0, -1):
+        if bs % t == 0:
+            return t
+    return 1
+
+
 def supported(n_envs: int) -> bool:
-    """The kernel requires the env batch to fill whole 128-lane rows,
-    and the single-program form holds its (support, N/128, 128) pmf
-    buffers wholly in VMEM — cap the batch so the working set stays
-    well under the ~16 MB/core budget (at 32768 envs the sampler's
-    ~6 live (16, 256, 128) f32 buffers are ~12 MB).  Larger batches
-    fall back to the XLA path (shard the batch over a mesh instead)."""
-    return n_envs % 128 == 0 and 128 <= n_envs <= 32768
+    """The kernel requires the env batch to fill whole 128-lane rows.
+    There is no upper cap: batches larger than one tile's 8192 envs run
+    as a grid of independent per-tile programs (each env column is
+    computed identically whichever program owns it, so tiling does not
+    change a single bit)."""
+    return n_envs % 128 == 0 and n_envs >= 128
 
 
 @partial(jax.jit, static_argnames=("support", "interpret"))
@@ -208,24 +221,36 @@ def sort_material_fused(counts, acc, keys, support=16, interpret=False):
     """
     n = counts.shape[1]
     if not supported(n):
-        raise ValueError(f"n_envs={n} not a multiple of 128")
+        raise ValueError(
+            f"n_envs={n} unsupported: the kernel needs n_envs % 128 == 0 "
+            "and n_envs >= 128 (whole 128-lane rows)")
     bs = n // 128
+    tile = _tile_for(bs)
     c3 = counts.reshape(4, bs, 128)
     a3 = acc.reshape(4, bs, 128)
     k3 = keys.T.reshape(2, bs, 128)
 
+    # under jax.shard_map (parallel.fastb_shard runs the kernel per env
+    # shard) outputs inherit the inputs' varying-mesh-axes set; outside
+    # shard_map this is the empty set and a no-op
+    vma = jax.typeof(counts).vma
     out_shape = [
-        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32),
-        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32),
-        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32),
-        jax.ShapeDtypeStruct((2, bs, 128), jnp.uint32),
+        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32, vma=vma),
+        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32, vma=vma),
+        jax.ShapeDtypeStruct((4, bs, 128), jnp.int32, vma=vma),
+        jax.ShapeDtypeStruct((2, bs, 128), jnp.uint32, vma=vma),
     ]
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def blk(rows):
+        return pl.BlockSpec((rows, tile, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
     leftover, true_arr, false_arr, newkey = pl.pallas_call(
         partial(_kernel, support=support),
+        grid=(bs // tile,),
         out_shape=out_shape,
-        in_specs=[spec, spec, spec],
-        out_specs=[spec, spec, spec, spec],
+        in_specs=[blk(4), blk(4), blk(2)],
+        out_specs=[blk(4), blk(4), blk(4), blk(2)],
         interpret=interpret,
     )(c3, a3, k3)
     return (leftover.reshape(4, n), true_arr.reshape(4, n),

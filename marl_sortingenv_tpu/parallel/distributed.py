@@ -77,3 +77,26 @@ def make_global_env_state(cfg, reset_fn, n_envs_global: int, mesh: Mesh):
             (n_envs_global,) + tuple(np.shape(x)[1:]))
 
     return jax.tree.map(globalize, local)
+
+
+def make_global_bstate(cfg, reset_fn, n_envs_global: int, mesh: Mesh):
+    """Production-engine (``core.fastb``) variant of
+    ``make_global_env_state``: leaves are batch-LAST (the key leaf is
+    batch-first), so each leaf shards the axis its
+    ``parallel.fastb_shard.bstate_pspec`` names.  Each process builds
+    only its own env columns."""
+    from .fastb_shard import bstate_pspec
+
+    n_local = n_envs_global // jax.process_count()
+    local = reset_fn(cfg, n_local, jax.process_index() * n_local)
+    specs = bstate_pspec(local)
+
+    def globalize(x, s):
+        x = np.asarray(x)
+        idx = list(s).index("dp")
+        gshape = list(x.shape)
+        gshape[idx] = n_envs_global
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, s), x, tuple(gshape))
+
+    return jax.tree.map(globalize, local, specs)

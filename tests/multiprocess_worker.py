@@ -44,14 +44,25 @@ CHUNK = 8  # env-state construction granularity (must divide every shard)
 
 def reset_chunked(cfg, n_local, seed0):
     """Process-count-invariant construction: fixed 8-env chunks keyed by
-    their global offset, concatenated locally."""
-    from marl_sortingenv_tpu.core import fast as FE
+    their global offset, concatenated locally.  fastb (batch-LAST)
+    layout: state leaves concatenate on the trailing env axis, the key
+    leaf on axis 0."""
+    from marl_sortingenv_tpu.core import fastb as FB
 
-    chunks = [FE.reset_batch(cfg, jax.random.PRNGKey(s0), CHUNK)
+    chunks = [FB.reset_batch(cfg, jax.random.PRNGKey(s0), CHUNK)
               for s0 in range(seed0, seed0 + n_local, CHUNK)]
     if len(chunks) == 1:
         return chunks[0]
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+    kw = {}
+    for i, name in enumerate(FB.BState._fields):
+        xs = [c[i] for c in chunks]
+        if xs[0] is None:
+            kw[name] = None
+        elif name == "key":
+            kw[name] = jnp.concatenate(xs, axis=0)
+        else:
+            kw[name] = jnp.concatenate(xs, axis=-1)
+    return FB.BState(**kw)
 
 
 def main():
@@ -72,16 +83,19 @@ def main():
     from marl_sortingenv_tpu.learn import ppo
     from marl_sortingenv_tpu.parallel import mesh as M
 
-    cfg = load_config(max_steps=8)
+    # the PRODUCTION configuration: batch-last fastb engine, event-bale
+    # mode, env step under shard_map (VERDICT r3 next-round #2)
+    cfg = load_config(max_steps=8, bale_mode="events")
     pcfg = ppo.PPOConfig(n_steps=4, batch_size=16, n_epochs=2)
-    spec = ppo.spec_for("mono", engine="fast")
+    spec = ppo.spec_for("mono", engine="fastb")
 
     mesh = DD.global_mesh(tp=1)
     env_sh = M.env_sharding(mesh)
     rep = M.replicated(mesh)
 
-    # global dp-sharded env state: each process builds only its shard
-    env_state = DD.make_global_env_state(
+    # global dp-sharded env state: each process builds only its env
+    # columns (trailing-axis shardings per parallel.fastb_shard)
+    env_state = DD.make_global_bstate(
         cfg, reset_chunked, N_ENVS_GLOBAL, mesh)
 
     # replicated learner state: identical host values on every process,
@@ -115,7 +129,7 @@ def main():
         update_count=rep_global(ts_host.update_count),
     )
 
-    it = ppo.make_train_iteration(cfg, pcfg, spec)
+    it = ppo.make_train_iteration(cfg, pcfg, spec, mesh=mesh)
     with mesh:
         ts2, stats = it(ts)
         jax.block_until_ready(stats["loss"])

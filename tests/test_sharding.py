@@ -2,6 +2,7 @@
 PPO iteration runs on the virtual 8-device mesh; TP param specs apply."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -136,3 +137,101 @@ def test_load_sb3_zip(tmp_path):
     assert params.action.w.shape == (32, 2)
     x = np.zeros((1, 13), np.float32)
     assert np.isfinite(np.asarray(mlp.policy_logits(params, x))).all()
+
+
+# --- production (fastb, batch-last) engine sharding -------------------------
+# VERDICT r3 "Missing #1": the headline engine must leave one chip.  The
+# env step runs under jax.shard_map over the trailing env axis
+# (parallel.fastb_shard); these assert sharded == unsharded BITWISE for
+# both bale representations and for the full PPO train iteration.
+
+from marl_sortingenv_tpu.core import fastb as FB
+from marl_sortingenv_tpu.parallel import fastb_shard as FS
+
+
+def _fastb_rollout(cfg, mesh=None, n=64, length=20):
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(0), n)
+    stepped = FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s))
+    if mesh is not None:
+        st = FS.shard_bstate(mesh, st)
+        stepped = FS.shard_step(mesh, stepped, st)
+
+    def body(st, _):
+        st, out = stepped(st, jnp.zeros(n, jnp.int32))
+        return st, out.reward
+
+    return jax.jit(lambda st: lax.scan(body, st, None, length=length))(st)
+
+
+@pytest.mark.parametrize("bale_mode", ["events", "full"])
+def test_fastb_sharded_rollout_bitwise(bale_mode):
+    cfg = load_config(max_steps=32, bale_mode=bale_mode)
+    st0, rew0 = _fastb_rollout(cfg)
+    mesh = M.make_mesh(8, tp=1)
+    st1, rew1 = _fastb_rollout(cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(rew0), np.asarray(rew1))
+    for name, a, b in zip(FB.BState._fields, st0, st1):
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    # result stayed dp-sharded on the trailing env axis
+    assert len(st1.cont_true.sharding.device_set) == 8
+    spec = st1.cont_true.sharding.spec
+    assert spec[-1] == "dp", spec
+
+
+def test_fastb_sharded_press_rollout_with_frozen_policy():
+    """The hierarchical path: frozen sort MLP inside the sharded step
+    (params close over the shard_map as replicated)."""
+    cfg = load_config(max_steps=32)
+    params = mlp.init_params(jax.random.PRNGKey(3), 13, 2)
+    sort_policy = (mlp.policy_logits, params)
+    n = 64
+
+    def roll(mesh):
+        st = FB.reset_batch(cfg, jax.random.PRNGKey(1), n)
+        stepped = FB.with_autoreset(
+            cfg, lambda c, s, a: FB.step_press(c, s, a, sort_policy, True))
+        if mesh is not None:
+            st = FS.shard_bstate(mesh, st)
+            stepped = FS.shard_step(mesh, stepped, st)
+
+        def body(st, _):
+            st, out = stepped(st, jnp.zeros(n, jnp.int32))
+            return st, out.reward
+
+        return jax.jit(lambda st: lax.scan(body, st, None, length=12))(st)
+
+    st0, rew0 = roll(None)
+    st1, rew1 = roll(M.make_mesh(8, tp=1))
+    np.testing.assert_array_equal(np.asarray(rew0), np.asarray(rew1))
+    np.testing.assert_array_equal(np.asarray(st0.cont_true),
+                                  np.asarray(st1.cont_true))
+
+
+def test_fastb_sharded_train_iteration_bitwise():
+    """Full PPO iteration on the production engine over the 8-device
+    mesh: params after one sharded iteration == unsharded, bit for bit
+    (rollout via shard_map; policy sampling + update are
+    sharding-invariant jit code under partitionable threefry)."""
+    cfg = load_config(max_steps=32, bale_mode="events")
+    pcfg = ppo.PPOConfig(n_steps=8, batch_size=64, n_epochs=2)
+    spec = ppo.spec_for("mono", engine="fastb")
+
+    ts0 = ppo.init_train_state(cfg, pcfg, spec, n_envs=32)
+    it0 = ppo.make_train_iteration(cfg, pcfg, spec)
+    out0, stats0 = it0(ts0)
+
+    mesh = M.make_mesh(8, tp=1)
+    ts1 = FS.shard_train_state(
+        mesh, ppo.init_train_state(cfg, pcfg, spec, n_envs=32))
+    it1 = ppo.make_train_iteration(cfg, pcfg, spec, mesh=mesh)
+    out1, stats1 = it1(ts1)
+
+    for a, b in zip(jax.tree.leaves(out0.params), jax.tree.leaves(out1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(stats0["loss"]),
+                                  np.asarray(stats1["loss"]))
+    # env state stayed dp-sharded through the iteration
+    assert len(out1.env_state.cont_true.sharding.device_set) == 8

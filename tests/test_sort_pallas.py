@@ -99,3 +99,42 @@ def test_threefry_matches_jax_random():
     u = SP._bits_to_unit_f32(a[0] ^ a[1])
     np.testing.assert_array_equal(
         np.asarray(refu).view(np.uint32), np.asarray(u).view(np.uint32))
+
+
+def test_kernel_grid_tiling_bitwise(monkeypatch):
+    """Batches larger than one tile run as a grid of per-tile programs
+    (the >32k-env path); force a tiny tile so 512 envs cover grid=2."""
+    monkeypatch.setattr(SP, "_TILE", 2)
+    assert SP._tile_for(512 // 128) == 2
+    cfg = load_config()
+    st = _stepped_state(cfg, 512)
+    lo_x, t_x, f_x, k_x = _xla_path(cfg, st)
+    lo_p, t_p, f_p, k_p = SP.sort_material_fused(
+        st.sort_counts, st.acc_sorter, st.key,
+        support=FB._support_for(cfg), interpret=True)
+    np.testing.assert_array_equal(np.asarray(lo_x), np.asarray(lo_p))
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(f_x), np.asarray(f_p))
+    np.testing.assert_array_equal(np.asarray(k_x), np.asarray(k_p))
+
+
+def test_no_upper_batch_cap():
+    """Round-3 capped the kernel at 32768 envs (silent 2.4x fallback
+    cliff); the grid removed it."""
+    assert SP.supported(65536)
+    assert SP.supported(131072)
+    assert SP._tile_for(65536 // 128) == SP._TILE
+
+
+def test_kernel_refused_without_partitionable_threefry():
+    """The kernel hardcodes partitionable threefry; with the flag off the
+    XLA path draws different bits, so auto must refuse and pallas raise
+    (ADVICE r3)."""
+    cfg = load_config()
+    jax.config.update("jax_threefry_partitionable", False)
+    try:
+        assert not FB._use_sort_kernel(cfg, 4096)
+        with pytest.raises(ValueError, match="partitionable"):
+            FB._use_sort_kernel(cfg.with_(sort_kernel="pallas"), 4096)
+    finally:
+        jax.config.update("jax_threefry_partitionable", True)
