@@ -37,13 +37,15 @@ def time_chain(run, carry, repeats=3):
     return best
 
 
-def bench(label, batch, epochs=4, shuffle_block=128):
+def bench(label, batch, epochs=4, shuffle_block=128, ru=1, mu=1,
+          donate=False):
     cfg = load_config(bale_mode="events")
     pcfg = ppo.PPOConfig(n_steps=T, batch_size=batch, n_epochs=epochs,
-                         shuffle_block=shuffle_block)
+                         shuffle_block=shuffle_block,
+                         rollout_unroll=ru, mb_unroll=mu)
     spec = ppo.spec_for("mono", engine="fastb")
     ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=N, seed=0)
-    it = ppo.make_train_iteration(cfg, pcfg, spec)
+    it = ppo.make_train_iteration(cfg, pcfg, spec, donate=donate)
 
     def run(ts):
         ts, stats = it(ts)
@@ -56,5 +58,10 @@ def bench(label, batch, epochs=4, shuffle_block=128):
 
 if __name__ == "__main__":
     for arg in sys.argv[1:]:
-        label, batch, epochs = arg.split(",")
-        bench(label, int(batch), int(epochs))
+        label, batch, epochs, ru, mu, dn = arg.split(",")
+        try:
+            bench(label, int(batch), int(epochs), ru=int(ru), mu=int(mu),
+                  donate=bool(int(dn)))
+        except Exception as e:
+            print(f"{label:28s} FAILED: {type(e).__name__}: {e}",
+                  flush=True)

@@ -66,16 +66,24 @@ CHAIN = 8
 BASELINE = 1_000_000.0  # >=1M env-steps/s/host (BASELINE.json north star)
 
 # learner-attached config: large-minibatch PPO cadence sized for the env
-# batch (64 grad steps per iteration on 4096 x 64 samples); SB3's tiny
-# batch_size=64 default would serialize ~41k MLP grad steps per iteration,
-# which is a CPU-era cadence, not how this learner runs on a TPU.
+# batch — the minibatch COUNT is held at 16 per epoch (64 grad steps per
+# iteration) at every env-batch size, so batch_size scales with the
+# rollout (16384 at 4096 envs, 32768 at 8192).  SB3's tiny batch_size=64
+# default would serialize ~41k MLP grad steps per iteration, which is a
+# CPU-era cadence, not how this learner runs on a TPU; and keeping the
+# r3 16384 at 8192 envs doubled the grad-step count for no learning
+# benefit (round-4 bisection, artifacts/train_floor_r4.md).
 # shuffle_block=128 permutes 128-row blocks of the [T, N]-flattened batch
 # (= 128 different env instances at one timestep per block): near-i.i.d.
 # samples, full-bandwidth gathers (see PPOConfig.shuffle_block).
 TRAIN_N_STEPS = 64
-TRAIN_BATCH = 16384
+TRAIN_MINIBATCHES = 16  # per epoch; batch_size = n_envs*n_steps/16
 TRAIN_EPOCHS = 4
 TRAIN_SHUFFLE_BLOCK = 128
+# train surfaces chain 16 dispatches per timed repeat (vs 8 for the
+# step surfaces): at ~11 ms/iteration the chain edges (first enqueue,
+# final fetch) are a measurable fraction of an 8-link chain
+TRAIN_CHAIN = 16
 
 
 def _time_chain(run, carry, work_per_call, chain=CHAIN, repeats=REPEATS):
@@ -200,13 +208,23 @@ def bench_fused_policy(cfg):
     return _time_chain(run, (st, obs0), N_ENVS * N_STEPS)
 
 
-def bench_train_iteration(cfg, n_envs):
-    """Full PPO iteration (rollout + GAE + update) throughput."""
+def _train_pcfg(n_envs):
     from marl_sortingenv_tpu.learn import ppo
 
-    pcfg = ppo.PPOConfig(n_steps=TRAIN_N_STEPS, batch_size=TRAIN_BATCH,
-                         n_epochs=TRAIN_EPOCHS,
-                         shuffle_block=TRAIN_SHUFFLE_BLOCK)
+    return ppo.PPOConfig(
+        n_steps=TRAIN_N_STEPS,
+        batch_size=n_envs * TRAIN_N_STEPS // TRAIN_MINIBATCHES,
+        n_epochs=TRAIN_EPOCHS,
+        shuffle_block=TRAIN_SHUFFLE_BLOCK)
+
+
+def bench_train_iteration(cfg, n_envs):
+    """Full PPO iteration (rollout + GAE + update) throughput, chained
+    per-iteration dispatch — the trainer's dispatch mode at this scale
+    (learn.trainer.SEGMENT_MAX_ENVS)."""
+    from marl_sortingenv_tpu.learn import ppo
+
+    pcfg = _train_pcfg(n_envs)
     spec = ppo.spec_for("mono", engine="fastb")
     ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=n_envs, seed=0)
     it = ppo.make_train_iteration(cfg, pcfg, spec)
@@ -216,20 +234,24 @@ def bench_train_iteration(cfg, n_envs):
         return ts, stats["loss"]
 
     steps_per_iter = n_envs * TRAIN_N_STEPS
-    sps = _time_chain(run, ts, steps_per_iter)
+    sps = _time_chain(run, ts, steps_per_iter, chain=TRAIN_CHAIN)
     return sps, sps / steps_per_iter
 
 
 def bench_train_run(cfg, n_envs, seg=8):
-    """The production training-loop shape: `seg` PPO iterations per
-    jitted lax.scan dispatch (ppo.make_train_run — what the trainer
-    actually dispatches).  Removes the ~1.7 ms/call host dispatch gap
-    that per-iteration dispatch pays on the tunneled client."""
+    """The segmented training-loop shape: `seg` PPO iterations per
+    jitted lax.scan dispatch (ppo.make_train_run).  This is what the
+    trainer dispatches BELOW trainer.SEGMENT_MAX_ENVS (protocol-scale
+    shapes, where the ~1.7 ms/call dispatch gap dominates); at the
+    bench's 4096/8192-env shapes the scanned segment costs ~3 ms/iter
+    MORE device time than the standalone iteration (the while-loop body
+    re-materializes the transition buffers every trip —
+    artifacts/train_floor_r4.md), which is why the trainer picks
+    per-iteration dispatch here.  Kept as a bench surface so the
+    crossover stays measured."""
     from marl_sortingenv_tpu.learn import ppo
 
-    pcfg = ppo.PPOConfig(n_steps=TRAIN_N_STEPS, batch_size=TRAIN_BATCH,
-                         n_epochs=TRAIN_EPOCHS,
-                         shuffle_block=TRAIN_SHUFFLE_BLOCK)
+    pcfg = _train_pcfg(n_envs)
     spec = ppo.spec_for("mono", engine="fastb")
     ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=n_envs, seed=0)
     it = ppo.make_train_run(cfg, pcfg, spec, seg)
@@ -300,8 +322,11 @@ def main():
         "train_run_8192_updates_per_sec": round(trun8_ups, 4),
         "train_iter_config": {
             "n_envs": N_ENVS, "n_steps": TRAIN_N_STEPS,
-            "batch_size": TRAIN_BATCH, "n_epochs": TRAIN_EPOCHS,
-            "shuffle_block": TRAIN_SHUFFLE_BLOCK},
+            "batch_size": _train_pcfg(N_ENVS).batch_size,
+            "batch_size_8192": _train_pcfg(2 * N_ENVS).batch_size,
+            "n_epochs": TRAIN_EPOCHS,
+            "shuffle_block": TRAIN_SHUFFLE_BLOCK,
+            "chain": TRAIN_CHAIN},
     }
     if "--protocol" in sys.argv:
         # full bale mode: the trainer's eval/checkpoint paths consume the

@@ -62,6 +62,12 @@ class PPOConfig:
     # 116-byte random rows, and the permutation sorts total/B keys
     # instead of total.  Falls back to 1 when B doesn't divide the batch.
     shuffle_block: int = 1
+    # lax.scan unroll factors (pure scheduling — identical math/results):
+    # the TPU while-loop costs a fixed per-iteration overhead, so
+    # unrolling the 64-step rollout scan and the per-minibatch update
+    # scan trades code size for fewer loop trips.  1 = no unrolling.
+    rollout_unroll: int = 1
+    mb_unroll: int = 1
 
     @classmethod
     def tuned(cls, **over) -> "PPOConfig":
@@ -304,6 +310,7 @@ def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
         (ts.env_state, ts.obs, ts.key, ts.ep_return_acc, ts.last_ep_return),
         None,
         length=pcfg.n_steps,
+        unroll=pcfg.rollout_unroll,
     )
     last_value = mlp.value_fn(ts.params, obs)
     ts = ts._replace(env_state=env_state, obs=obs, key=key,
@@ -448,7 +455,7 @@ def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
             return (params, opt_state), stats
 
         (params, opt_state), stats = lax.scan(
-            minibatch, (params, opt_state), perm)
+            minibatch, (params, opt_state), perm, unroll=pcfg.mb_unroll)
         return (params, opt_state, key), jax.tree.map(jnp.mean, stats)
 
     (params, opt_state, key), stats = lax.scan(
