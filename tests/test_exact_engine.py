@@ -2,6 +2,7 @@
 bit-for-bit agreement on CPU over full rule-based episodes."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -261,14 +262,18 @@ def test_exact_noise_external_and_sort_paths_match_parity():
     _assert_match(outs_x, outs_p)
 
 
-def test_exact_mono_random_matches_parity_both_noise_levels():
+@pytest.mark.parametrize("noisy", [False, True])
+@pytest.mark.parametrize("masking", [False, True])
+def test_exact_mono_random_matches_parity(noisy, masking):
     """Exact legacy-random monolith path (MT19937) == parity engine,
-    masked and unmasked, at noise 0 and the default noise 0.05."""
+    masked and unmasked, at noise 0 and the default noise 0.05.
+    (Parametrized so xdist can spread the 8 heavy x64 compiles that a
+    single combined test serialized on one worker.)"""
     from marl_sortingenv_tpu.core import legacy_random as LR
 
     seed, steps = 42, 100
-    for cfg in (CFG, CFG_N):
-        for masking in (True, False):
+    for cfg in ((CFG_N,) if noisy else (CFG,)):
+        for masking in (masking,):
             st = S.reset(cfg, seed)
             lr = LR.mt19937_init(seed)
 
