@@ -456,7 +456,24 @@ def _sort_material(cfg: SimConfig, st: BState):
     total_input = st.sort_counts.sum(axis=0)              # (N,)
     key = st.key
     support = _support_for(cfg)
-    if _use_sort_kernel(cfg, st.sort_counts.shape[1]):
+    use_kernel = _use_sort_kernel(cfg, st.sort_counts.shape[1])
+    if use_kernel:
+        # pjit-auto-sharded state (NamedSharding under jit WITHOUT
+        # shard_map): the pallas_call is opaque to the SPMD partitioner
+        # and would silently replicate the env batch — refuse/fallback
+        # (ADVICE r3; the sanctioned multi-chip path is
+        # parallel.fastb_shard.shard_step, whose shard_map blocks are
+        # manual and keep the kernel per-shard)
+        from ..ops import sort_pallas
+        if sort_pallas.pjit_auto_sharded(st.sort_counts):
+            if getattr(cfg, "sort_kernel", "auto") == "pallas":
+                raise ValueError(
+                    "sort_kernel='pallas' under a pjit-auto-sharded "
+                    "state: the kernel cannot be SPMD-partitioned; run "
+                    "the step via parallel.fastb_shard.shard_step "
+                    "(shard_map) or use sort_kernel='xla'")
+            use_kernel = False
+    if use_kernel:
         # fused Pallas kernel: the whole chain (threefry splits, uniform
         # draws, 12 inverse-CDF hypergeometric samples) in one VMEM
         # kernel — bitwise-identical, ~1.5x faster (ops/sort_pallas.py)

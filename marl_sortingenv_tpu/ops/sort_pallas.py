@@ -201,6 +201,25 @@ def _tile_for(bs: int) -> int:
     return 1
 
 
+def pjit_auto_sharded(x) -> bool:
+    """True when ``x`` is being partitioned by XLA's AUTO SPMD
+    partitioner — a pjit/NamedSharding jit context NOT under
+    ``jax.shard_map``.  A ``pallas_call`` there is opaque to the
+    partitioner and would be lowered replicated (silently all-gathering
+    the env batch through the kernel), so the caller must fall back to
+    the XLA path.  Under shard_map the block is manual (the aval's
+    varying-mesh-axes set is non-empty) and the kernel is safe
+    per-shard — the production multi-chip path
+    (``parallel/fastb_shard.py``).  Conservative: a replicated input on
+    a multi-device auto mesh also returns True."""
+    try:
+        t = jax.typeof(x)
+        mesh = t.sharding.mesh
+        return (not mesh.empty) and mesh.size > 1 and not t.vma
+    except AttributeError:
+        return False
+
+
 def supported(n_envs: int) -> bool:
     """The kernel requires the env batch to fill whole 128-lane rows.
     There is no upper cap: batches larger than one tile's 8192 envs run

@@ -138,3 +138,46 @@ def test_kernel_refused_without_partitionable_threefry():
             FB._use_sort_kernel(cfg.with_(sort_kernel="pallas"), 4096)
     finally:
         jax.config.update("jax_threefry_partitionable", True)
+
+
+def test_pjit_auto_sharded_detection_and_gate():
+    """ADVICE r3 #3: a pjit-auto-sharded fastb state (NamedSharding
+    under jit WITHOUT shard_map) must not reach the SPMD-opaque kernel —
+    auto falls back to XLA, forced pallas raises; under shard_map
+    (manual blocks, the production multi-chip path) the kernel stays
+    allowed."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    x = jax.device_put(jnp.zeros((4, 512), jnp.int32),
+                       NamedSharding(mesh, P(None, "dp")))
+
+    seen = {}
+
+    @jax.jit
+    def probe(x):
+        seen["auto"] = SP.pjit_auto_sharded(x)
+        return x
+
+    probe(x)
+    assert seen["auto"] is True
+
+    def inner(x):
+        seen["manual"] = SP.pjit_auto_sharded(x)
+        return x
+
+    jax.jit(jax.shard_map(inner, mesh=mesh, in_specs=P(None, "dp"),
+                          out_specs=P(None, "dp")))(x)
+    assert seen["manual"] is False
+
+    # eager, unsharded single-device array
+    assert SP.pjit_auto_sharded(jnp.zeros((4, 128), jnp.int32)) is False
+
+    # the fastb gate: forced pallas + auto-sharded state raises
+    cfg = load_config(sort_kernel="pallas")
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(0), 512)
+    st = st._replace(
+        sort_counts=jax.device_put(st.sort_counts,
+                                   NamedSharding(mesh, P(None, "dp"))))
+    with pytest.raises(ValueError, match="shard_map|pjit-auto"):
+        jax.jit(lambda s: FB._sort_material(cfg, s))(st)
