@@ -1,0 +1,38 @@
+import sys, time
+sys.path.insert(0,"/root/repo")
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/marl_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np
+from jax import lax
+from marl_sortingenv_tpu.config.config import load_config
+from marl_sortingenv_tpu.core import fastb as FB
+
+N, STEPS = 4096, 512
+res = {}
+for kernel in ("pallas", "xla"):
+    cfg = load_config(bale_mode="events", step_kernel=kernel)
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(0), N)
+    stepped = FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s))
+    def body(st, _):
+        st, out = stepped(st, jnp.zeros(N, jnp.int32))
+        return st, out.reward.sum()
+    run = jax.jit(lambda st: lax.scan(body, st, None, length=STEPS))
+    t0 = time.perf_counter()
+    stf, r = run(st)
+    rr = np.asarray(r)
+    print(f"{kernel} compile+first {time.perf_counter()-t0:.1f}s", flush=True)
+    res[kernel] = (rr, np.asarray(stf.cont_true), np.asarray(stf.key),
+                   np.asarray(stf.ev_n), np.asarray(stf.ev_cnt))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = stf
+        for _ in range(8):
+            c, r2 = run(c)
+        np.asarray(r2[-1])
+        best = max(best, 8*N*STEPS/(time.perf_counter()-t0))
+    print(f"{kernel:6s} {N} envs: {best/1e6:7.1f}M env-steps/s", flush=True)
+names = ("rewards", "cont_true", "key", "ev_n", "ev_cnt")
+for nm, a, b in zip(names, res["pallas"], res["xla"]):
+    print(f"bitwise {nm}: {np.array_equal(a, b)}", flush=True)

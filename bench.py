@@ -108,7 +108,7 @@ def _time_chain(run, carry, work_per_call, chain=CHAIN, repeats=REPEATS):
 
 def bench_mono_rule(cfg):
     st = FB.reset_batch(cfg, jax.random.PRNGKey(0), N_ENVS)
-    stepped = FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s))
+    stepped = FB.mono_autoreset_step(cfg, "rule")
 
     def body(st, _):
         st, out = stepped(st, jnp.zeros(N_ENVS, jnp.int32))
@@ -132,9 +132,7 @@ def bench_sharded_mono_rule(cfg):
     mesh = M.make_mesh(tp=1)
     st = FS.shard_bstate(
         mesh, FB.reset_batch(cfg, jax.random.PRNGKey(0), N_ENVS))
-    stepped = FS.shard_step(
-        mesh, FB.with_autoreset(cfg, lambda c, s, a: FB.step_mono_rule(c, s)),
-        st)
+    stepped = FS.shard_step(mesh, FB.mono_autoreset_step(cfg, "rule"), st)
 
     def body(st, _):
         st, out = stepped(st, jnp.zeros(N_ENVS, jnp.int32))
@@ -187,13 +185,41 @@ def assert_sort_kernel_bitwise(cfg):
     return "PASS"
 
 
+def assert_step_kernel_bitwise(cfg):
+    """Per-capture re-certification of the FULL-STEP kernel
+    (ops/step_pallas.py, round 4): one monolith step on a stepped
+    4096-env state, XLA vs fused kernel, every state leaf and output
+    asserted bit-equal on the chip this capture ran on."""
+    if jax.default_backend() != "tpu":
+        return f"skipped (backend={jax.default_backend()})"
+    from marl_sortingenv_tpu.ops import step_pallas as SPK
+
+    cfg_x = cfg.with_(step_kernel="xla")
+    st = FB.reset_batch(cfg_x, jax.random.PRNGKey(9), 4096)
+    stepped = jax.jit(
+        FB.with_autoreset(cfg_x, lambda c, s, a: FB.step_mono_rule(c, s)))
+    for _ in range(5):
+        st, _ = stepped(st, jnp.zeros(4096, jnp.int32))
+    st_x, out_x = jax.jit(lambda s: FB.step_mono_rule(cfg_x, s))(st)
+    st_p, out_p = jax.jit(lambda s: SPK.step_mono(
+        cfg, s, None, variant="rule",
+        support=FB._support_for(cfg)))(st)
+    for nm, a, b in zip(FB.BState._fields, st_x, st_p):
+        if a is not None and not bool(jnp.array_equal(a, b)):
+            raise AssertionError(f"step kernel diverged on state.{nm}")
+    for nm in FB.BStepOut._fields:
+        if not bool(jnp.array_equal(getattr(out_x, nm),
+                                    getattr(out_p, nm))):
+            raise AssertionError(f"step kernel diverged on out.{nm}")
+    return "PASS"
+
+
 def bench_fused_policy(cfg):
     """entry() shape at benchmark scale: masked argmax policy + env step,
     autoreset, one jitted scan."""
     params = mlp.init_params(jax.random.PRNGKey(0), obs_dim=29, n_actions=22)
     st = FB.reset_batch(cfg, jax.random.PRNGKey(1), N_ENVS)
-    stepped = FB.with_autoreset(
-        cfg, lambda c, s, a: FB.step_mono_external(c, s, a, True))
+    stepped = FB.mono_autoreset_step(cfg, "external", True)
 
     def body(carry, _):
         st, obs = carry
@@ -298,6 +324,7 @@ def main():
     # kept in `extra` for comparability with rounds 1-2.
     cfg = load_config(bale_mode="events")
     kernel_ab = assert_sort_kernel_bitwise(cfg)
+    step_ab = assert_step_kernel_bitwise(cfg)
     rule = bench_mono_rule(cfg)
     rule_full = bench_mono_rule(load_config())
     sharded = bench_sharded_mono_rule(cfg)
@@ -309,6 +336,7 @@ def main():
 
     extra = {
         "sort_kernel_bitwise_ab": kernel_ab,
+        "step_kernel_bitwise_ab": step_ab,
         "sharded_mono_rule_env_steps_per_sec": round(sharded, 1),
         "mono_rule_full_bale_env_steps_per_sec": round(rule_full, 1),
         "fused_policy_env_steps_per_sec": round(fused, 1),

@@ -88,6 +88,18 @@ class SimConfig:
     # one VMEM-resident dispatch.  Use "xla" for pjit-sharded fastb
     # rollouts (pallas_call is opaque to the SPMD partitioner).
     sort_kernel: str = "auto"
+    # Whole-step implementation of the batch-last MONOLITH step
+    # (core.fastb step_mono_rule / step_mono_external):
+    # "auto"   — the fused full-step Pallas kernel (ops/step_pallas.py)
+    #            on TPU when bale_mode=="events" and the env batch fills
+    #            whole 128-lane rows — the entire step (input generator,
+    #            accuracy noise, sorting redistribution, press/bale-event
+    #            bookkeeping, rewards, observations) in ONE VMEM-resident
+    #            dispatch, bitwise-identical to the XLA path
+    #            (tests/test_step_pallas.py);
+    # "pallas"/"xla" force the choice.  When the step kernel runs, the
+    # separate sort_kernel setting is irrelevant (subsumed).
+    step_kernel: str = "auto"
 
     @property
     def press_times(self) -> Tuple[int, int]:

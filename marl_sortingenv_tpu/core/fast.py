@@ -108,7 +108,11 @@ def reset(cfg: SimConfig, key) -> FastEnvState:
     """Fresh instance state from a threefry key (vmap over keys to batch)."""
     _check_support(cfg)
     key, k1 = jax.random.split(key)
-    first = jax.random.bernoulli(k1).astype(I32)
+    # f32 p pins the draw's uniform to f32 under jax_enable_x64 too:
+    # the fast engines are f32 engines and their trajectories must not
+    # depend on the ambient x64 flag (the full-step kernel replicates
+    # the f32 recipe bitwise — ops/step_pallas.py fused autoreset)
+    first = jax.random.bernoulli(k1, jnp.float32(0.5)).astype(I32)
 
     z4 = jnp.zeros(4, I32)
     return FastEnvState(
@@ -238,7 +242,7 @@ def _generate_input(cfg: SimConfig, st: FastEnvState):
     # remainder <= 4 in practice; draw 4 materials, apply first `remainder`.
     # One-hot matrix sum instead of 4 sequential scatters (scatters
     # serialize badly on TPU).
-    ms = jax.random.randint(k1, (4,), 0, 4)
+    ms = jax.random.randint(k1, (4,), 0, 4, I32)  # i32-pinned (x64-invariant)
     active = jnp.arange(4, dtype=I32) < remainder
     add = ((ms[:, None] == jnp.arange(4, dtype=I32)[None, :])
            & active[:, None]).sum(axis=0).astype(I32)

@@ -159,12 +159,15 @@ def _vuniform4(keys, lo, hi):
 
 
 def _vrandint4(keys, lo, hi):
-    return jax.vmap(lambda k: jax.random.randint(k, (4,), lo, hi),
+    # dtype pinned i32: x64-invariant draw (the engine is an i32 engine)
+    return jax.vmap(lambda k: jax.random.randint(k, (4,), lo, hi, I32),
                     out_axes=1)(keys)            # (4, N)
 
 
 def _vbernoulli(keys):
-    return jax.vmap(jax.random.bernoulli)(keys)  # (N,)
+    # f32 p: x64-invariant draw (see core.fast reset comment)
+    return jax.vmap(
+        lambda k: jax.random.bernoulli(k, jnp.float32(0.5)))(keys)  # (N,)
 
 
 def _vcategorical(keys, logits_nm):
@@ -450,6 +453,37 @@ def _use_sort_kernel(cfg: SimConfig, n_envs: int) -> bool:
                 f"n_envs >= 128, got {n_envs}")
         return True
     return ok and partitionable and jax.default_backend() == "tpu"
+
+
+def _use_step_kernel(cfg: SimConfig, st: BState) -> bool:
+    """Trace-time choice of the fused FULL-STEP Pallas kernel
+    (ops/step_pallas.py) for the monolith variants.  Same guard set as
+    _use_sort_kernel: partitionable threefry only, refuse under a
+    pjit-auto-sharded state (shard_map is fine — the production
+    multi-chip glue), events bale mode and whole 128-lane rows only."""
+    mode = getattr(cfg, "step_kernel", "auto")
+    if mode == "xla":
+        return False
+    partitionable = bool(jax.config.jax_threefry_partitionable)
+    from ..ops import step_pallas
+    ok = step_pallas.supported(cfg, st.current_step.shape[0])
+    if mode == "pallas":
+        if not partitionable:
+            raise ValueError(
+                "step_kernel='pallas' requires jax_threefry_partitionable")
+        if not ok:
+            raise ValueError(
+                "step_kernel='pallas' needs bale_mode='events' and "
+                f"n_envs % 128 == 0, got bale_mode={cfg.bale_mode!r}, "
+                f"n_envs={st.current_step.shape[0]}")
+        if step_pallas.pjit_auto_sharded(st.sort_counts):
+            raise ValueError(
+                "step_kernel='pallas' under a pjit-auto-sharded state: "
+                "run the step via parallel.fastb_shard.shard_step "
+                "(shard_map) or use step_kernel='xla'")
+        return True
+    return (ok and partitionable and jax.default_backend() == "tpu"
+            and not step_pallas.pjit_auto_sharded(st.sort_counts))
 
 
 def _sort_material(cfg: SimConfig, st: BState):
@@ -818,6 +852,11 @@ def step_press(cfg: SimConfig, st: BState, action, sort_policy=None,
 
 def step_mono_external(cfg: SimConfig, st: BState, action,
                        use_action_masking: bool = True):
+    if _use_step_kernel(cfg, st):
+        from ..ops import step_pallas
+        return step_pallas.step_mono(
+            cfg, st, action, variant="external",
+            masked=use_action_masking, support=_support_for(cfg))
     st = _update_environment(cfg, st)
     a = jnp.asarray(action, I32)
     sort_mode = a // 11
@@ -840,6 +879,10 @@ def step_mono_external(cfg: SimConfig, st: BState, action,
 
 
 def step_mono_rule(cfg: SimConfig, st: BState, action=None):
+    if _use_step_kernel(cfg, st):
+        from ..ops import step_pallas
+        return step_pallas.step_mono(
+            cfg, st, None, variant="rule", support=_support_for(cfg))
     st = _update_environment(cfg, st)
     sort_mode = _sorting_rules(st)
     press_id, mat = _check_container_level(cfg, st)
@@ -955,4 +998,35 @@ def with_autoreset(cfg: SimConfig, step_fn):
         st, out = step_fn(cfg, st, action)
         fresh = autoreset(cfg, st)
         return _select_state(out.terminated, st, fresh), out
+    return stepped
+
+
+def mono_autoreset_step(cfg: SimConfig, variant: str,
+                        use_action_masking: bool = True):
+    """Autoreset rollout step ``(st, action) -> (st, out)`` for the
+    monolith variants ('rule' | 'external').
+
+    When the full-step kernel applies (ops/step_pallas.py), the
+    terminated-instance reset is fused INTO the kernel (the
+    ``_select_state`` over ~26 leaves plus the reset's split/bernoulli
+    otherwise run as separate XLA ops every step); semantics and bits
+    are identical to ``with_autoreset(cfg, step_fn)`` on the XLA path
+    (tests/test_step_pallas.py)."""
+    if variant == "rule":
+        base = lambda c, s, a: step_mono_rule(c, s)  # noqa: E731
+    elif variant == "external":
+        base = lambda c, s, a: step_mono_external(  # noqa: E731
+            c, s, a, use_action_masking)
+    else:
+        raise ValueError(f"unknown monolith variant {variant!r}")
+    fallback = with_autoreset(cfg, base)
+
+    def stepped(st, action):
+        if _use_step_kernel(cfg, st):
+            from ..ops import step_pallas
+            return step_pallas.step_mono(
+                cfg, st, action if variant == "external" else None,
+                variant=variant, masked=use_action_masking,
+                support=_support_for(cfg), autoreset=True)
+        return fallback(st, action)
     return stepped

@@ -167,8 +167,15 @@ class VariantSpec:
             return lambda st, a: step_fn(cfg, st, a)
         return jax.vmap(lambda s, a: step_fn(cfg, s, a))
 
-    def batched_autoreset_step(self, cfg: SimConfig, step_fn):
+    def batched_autoreset_step(self, cfg: SimConfig, step_fn,
+                               use_action_masking: bool = True):
         if self.engine == "fastb":
+            if self.name == "mono":
+                # fuses the terminated-instance reset into the full-step
+                # kernel when it applies (falls back to the generic
+                # wrapper otherwise) — bitwise-identical either way
+                return FB.mono_autoreset_step(cfg, "external",
+                                              use_action_masking)
             return self.wrap_autoreset(cfg, step_fn)
         return jax.vmap(self.wrap_autoreset(cfg, step_fn))
 
@@ -275,7 +282,7 @@ def collect_rollout(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
     path (``parallel.fastb_shard``); everything else in the rollout is
     sharding-invariant jit code (partitionable threefry), so the rollout
     is bitwise identical to the unsharded one."""
-    batched = spec.batched_autoreset_step(cfg, step_fn)
+    batched = spec.batched_autoreset_step(cfg, step_fn, use_action_masking)
     if mesh is not None:
         if spec.engine != "fastb":
             raise ValueError(

@@ -1,0 +1,142 @@
+"""Fused full-step Pallas kernel (ops/step_pallas.py): bitwise
+equivalence with the XLA fastb path in interpret mode, plus flag
+plumbing.  The on-chip bitwise A/B + timing evidence lives in
+``artifacts/step_pallas_ab.log`` and is re-asserted in every
+``bench.py`` capture.
+
+Interpret mode is slow (the kernel unrolls the E event rows), so the
+tests use short episodes (max_steps=36 -> E=9) and few steps; the RNG
+chain, sampler, press/event/reward/obs logic are step-count-invariant.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marl_sortingenv_tpu.config.config import load_config
+from marl_sortingenv_tpu.core import fastb as FB
+from marl_sortingenv_tpu.ops import step_pallas as SPK
+
+
+def _compare(cfg, variant, masked, steps=4, n=128, seed=1):
+    support = FB._support_for(cfg)
+    st0 = FB.reset_batch(cfg, jax.random.PRNGKey(seed), n)
+    rng = np.random.default_rng(seed)
+    acts = rng.integers(0, 22, size=(steps, n)).astype(np.int32)
+    if variant == "external":
+        fx = jax.jit(
+            lambda s, a: FB.step_mono_external(cfg, s, a, masked))
+        fp = lambda s, a: SPK.step_mono(
+            cfg, s, a, variant="external", masked=masked,
+            support=support, interpret=True)
+    else:
+        fx = jax.jit(lambda s, a: FB.step_mono_rule(cfg, s))
+        fp = lambda s, a: SPK.step_mono(
+            cfg, s, None, variant="rule", support=support, interpret=True)
+    st_x = st_p = st0
+    for t in range(steps):
+        a = jnp.asarray(acts[t])
+        st_x, out_x = fx(st_x, a)
+        st_p, out_p = fp(st_p, a)
+    for nm, a_, b_ in zip(FB.BState._fields, st_x, st_p):
+        if a_ is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_),
+                                      err_msg=f"state.{nm}")
+    for nm in FB.BStepOut._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_x, nm)), np.asarray(getattr(out_p, nm)),
+            err_msg=f"out.{nm}")
+
+
+CFG = load_config(bale_mode="events", max_steps=36)
+CFG_N = load_config(bale_mode="events", max_steps=36, noise_sorting=0.05)
+
+
+def test_step_kernel_rule_bitwise():
+    _compare(CFG, "rule", True)
+
+
+def test_step_kernel_external_masked_bitwise():
+    _compare(CFG, "external", True)
+
+
+def test_step_kernel_external_unmasked_bitwise():
+    """The sanitize branch: invalid presses must leave NO trace (the
+    _select_state semantics — timers do not tick on invalid actions)."""
+    _compare(CFG, "external", False)
+
+
+def test_step_kernel_noise_bitwise():
+    """noise 0.05 exercises the uniform4 draw in the key chain."""
+    _compare(CFG_N, "external", True)
+    _compare(CFG_N, "rule", True)
+
+
+def test_step_kernel_grid_tiling_bitwise(monkeypatch):
+    """Batches beyond one tile run as a grid of per-tile programs."""
+    monkeypatch.setattr(SPK, "_STEP_TILE", 1)
+    _compare(CFG, "rule", True, steps=2, n=256)
+
+
+def test_step_kernel_flag_resolution():
+    cfg = CFG
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(0), 128)
+    # CPU backend: auto resolves to the XLA path
+    assert not FB._use_step_kernel(cfg, st)
+    assert not FB._use_step_kernel(cfg.with_(step_kernel="xla"), st)
+    assert FB._use_step_kernel(cfg.with_(step_kernel="pallas"), st)
+    # full bale mode unsupported
+    st_full = FB.reset_batch(load_config(max_steps=36),
+                             jax.random.PRNGKey(0), 128)
+    with pytest.raises(ValueError, match="events"):
+        FB._use_step_kernel(load_config(max_steps=36,
+                                        step_kernel="pallas"), st_full)
+    # ragged batch unsupported
+    st_r = FB.reset_batch(cfg, jax.random.PRNGKey(0), 100)
+    with pytest.raises(ValueError, match="128"):
+        FB._use_step_kernel(cfg.with_(step_kernel="pallas"), st_r)
+
+
+def test_step_kernel_via_fastb_gate():
+    """Forced step_kernel='pallas' through the public fastb entry points
+    (interpret monkey-wiring not needed: interpret=False fails on CPU,
+    so drive step_pallas.step_mono directly in interpret and compare
+    against the gated-XLA result)."""
+    cfg = CFG.with_(step_kernel="xla")
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(3), 128)
+    st_x, out_x = jax.jit(lambda s: FB.step_mono_rule(cfg, s))(st)
+    st_p, out_p = SPK.step_mono(cfg, st, None, variant="rule",
+                                support=FB._support_for(cfg),
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_x.obs),
+                                  np.asarray(out_p.obs))
+    np.testing.assert_array_equal(np.asarray(st_x.key), np.asarray(st_p.key))
+
+
+def test_step_kernel_fused_autoreset_bitwise():
+    """autoreset=True fuses the terminated-instance reset (split +
+    bernoulli + ~26-leaf select) into the kernel; must equal
+    fastb.with_autoreset over episode boundaries bit for bit."""
+    cfg = load_config(bale_mode="events", max_steps=3)
+    support = FB._support_for(cfg)
+    n, steps = 128, 8
+    st0 = FB.reset_batch(cfg, jax.random.PRNGKey(5), n)
+    fx = jax.jit(FB.with_autoreset(
+        cfg, lambda c, s, a: FB.step_mono_rule(c, s)))
+    st_x = st_p = st0
+    zero = jnp.zeros(n, jnp.int32)
+    for t in range(steps):
+        st_x, out_x = fx(st_x, zero)
+        st_p, out_p = SPK.step_mono(cfg, st_p, None, variant="rule",
+                                    support=support, autoreset=True,
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_x.terminated),
+                                      np.asarray(out_p.terminated), t)
+    for nm, a_, b_ in zip(FB.BState._fields, st_x, st_p):
+        if a_ is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_),
+                                      err_msg=f"state.{nm}")
+    # several envs must actually have reset during the run
+    assert int(np.asarray(st_p.current_step).max()) < steps
