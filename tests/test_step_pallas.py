@@ -18,7 +18,7 @@ from marl_sortingenv_tpu.core import fastb as FB
 from marl_sortingenv_tpu.ops import step_pallas as SPK
 
 
-def _compare(cfg, variant, masked, steps=4, n=128, seed=1):
+def _compare(cfg, variant, masked, steps=3, n=128, seed=1):
     support = FB._support_for(cfg)
     st0 = FB.reset_batch(cfg, jax.random.PRNGKey(seed), n)
     rng = np.random.default_rng(seed)
@@ -68,9 +68,9 @@ def test_step_kernel_external_unmasked_bitwise():
 
 
 def test_step_kernel_noise_bitwise():
-    """noise 0.05 exercises the uniform4 draw in the key chain."""
+    """noise 0.05 exercises the uniform4 draw in the key chain (the
+    accuracy section is variant-independent, so one variant suffices)."""
     _compare(CFG_N, "external", True)
-    _compare(CFG_N, "rule", True)
 
 
 def test_step_kernel_grid_tiling_bitwise(monkeypatch):
@@ -120,7 +120,7 @@ def test_step_kernel_fused_autoreset_bitwise():
     fastb.with_autoreset over episode boundaries bit for bit."""
     cfg = load_config(bale_mode="events", max_steps=3)
     support = FB._support_for(cfg)
-    n, steps = 128, 8
+    n, steps = 128, 5
     st0 = FB.reset_batch(cfg, jax.random.PRNGKey(5), n)
     fx = jax.jit(FB.with_autoreset(
         cfg, lambda c, s, a: FB.step_mono_rule(c, s)))
@@ -140,3 +140,4 @@ def test_step_kernel_fused_autoreset_bitwise():
                                       err_msg=f"state.{nm}")
     # several envs must actually have reset during the run
     assert int(np.asarray(st_p.current_step).max()) < steps
+    assert int(np.asarray(st_p.current_step).min()) >= 0
