@@ -523,10 +523,18 @@ def _cfg_consts(cfg):
     )
 
 
+_MAX_EVENTS = 256  # VMEM bound: the 3 (E, tile, 128) i16 event blocks
+# are 3*E*32*128*2 B = 2 MB at E=256; configs with longer episodes
+# (default E = T/12 + T/15 + 4, so T up to ~1400) keep the kernel, and
+# anything beyond falls back to the XLA path rather than overflowing
+# the ~16 MB/core budget alongside the sampler's pmf buffers.
+
+
 def supported(cfg, n_envs: int) -> bool:
-    """Events bale mode, whole 128-lane rows; no upper batch cap
-    (grid over _STEP_TILE-row tiles)."""
+    """Events bale mode, whole 128-lane rows, bounded event log; no
+    upper batch cap (grid over _STEP_TILE-row tiles)."""
     return (getattr(cfg, "bale_mode", "full") == "events"
+            and cfg.max_press_events <= _MAX_EVENTS
             and n_envs % 128 == 0 and n_envs >= 128)
 
 

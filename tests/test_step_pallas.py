@@ -141,3 +141,15 @@ def test_step_kernel_fused_autoreset_bitwise():
     # several envs must actually have reset during the run
     assert int(np.asarray(st_p.current_step).max()) < steps
     assert int(np.asarray(st_p.current_step).min()) >= 0
+
+
+def test_step_kernel_event_log_vmem_bound():
+    """Very long episodes grow the (E, tile, 128) event blocks; the
+    kernel must refuse rather than overflow VMEM (falls back to XLA)."""
+    big = load_config(bale_mode="events", max_steps=20_000)
+    assert big.max_press_events > SPK._MAX_EVENTS
+    assert not SPK.supported(big, 4096)
+    st = FB.reset_batch(big, jax.random.PRNGKey(0), 128)
+    assert not FB._use_step_kernel(big, st)
+    with pytest.raises(ValueError):
+        FB._use_step_kernel(big.with_(step_kernel="pallas"), st)
