@@ -68,6 +68,11 @@ class PPOConfig:
     # scan trades code size for fewer loop trips.  1 = no unrolling.
     rollout_unroll: int = 1
     mb_unroll: int = 1
+    # materialize the gathered minibatch behind an optimization barrier
+    # (round-3 finding: without it XLA fused the gather into the first
+    # dot_general's operand and fell off the MXU fast path).  Kept as a
+    # knob so the finding stays re-measurable as layouts change.
+    mb_barrier: bool = True
 
     @classmethod
     def tuned(cls, **over) -> "PPOConfig":
@@ -460,11 +465,13 @@ def ppo_update(pcfg: PPOConfig, ts: TrainState, trs: Transition,
         def minibatch(carry, idx):
             params, opt_state = carry
             g = jnp.take(packed, idx, axis=1).reshape(-1, mb_size)
-            # materialize the gathered minibatch: without the barrier XLA
-            # fuses the gather into the first-layer dot_general's operand,
-            # which knocks it off the MXU fast path (166us vs ~4us for
-            # the gather + clean matmul; artifacts/profile_train5.py)
-            g = lax.optimization_barrier(g)
+            if pcfg.mb_barrier:
+                # materialize the gathered minibatch: without the barrier
+                # XLA fuses the gather into the first-layer dot_general's
+                # operand, which knocks it off the MXU fast path (166us vs
+                # ~4us for the gather + clean matmul;
+                # artifacts/profile_train5.py — re-confirmed round 4)
+                g = lax.optimization_barrier(g)
             batch = unpack(g)
             grads, stats = grad_fn(params, pcfg, batch)
             updates, opt_state = optimizer.update(grads, opt_state, params)
