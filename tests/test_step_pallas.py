@@ -153,3 +153,16 @@ def test_step_kernel_event_log_vmem_bound():
     assert not FB._use_step_kernel(big, st)
     with pytest.raises(ValueError):
         FB._use_step_kernel(big.with_(step_kernel="pallas"), st)
+
+
+def test_step_kernel_variant_config_bitwise():
+    """The kernel bakes config constants (floor(ratio*batch) units and
+    remainder per pattern, press times, balesize, capacities, reward
+    params); a non-default config must stay bitwise with the XLA path
+    (pattern units computed in f32 like fastb._generate_input — e.g.
+    floor(0.35f * 80f) semantics)."""
+    cfg = load_config(bale_mode="events", max_steps=36,
+                      input_batch_size=80, press_time_1=5, press_time_2=7,
+                      balesize=120, container_capacity=500)
+    _compare(cfg, "rule", True, steps=3)
+    _compare(cfg, "external", True, steps=3, seed=2)
