@@ -118,6 +118,24 @@ def bench_mono_rule(cfg):
     return _time_chain(run, st, N_ENVS * N_STEPS)
 
 
+def bench_mono_rule_long(cfg):
+    """The headline surface with ONE 8192-step scan per dispatch instead
+    of 8x512: amortizes the tunneled client's ~1.5 ms/call enqueue
+    overhead to noise, so this row approximates the DEVICE rate of the
+    production step (round-4 local: 212.3M vs 183.6M at scan 512 —
+    long-running rollouts see this rate)."""
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(0), N_ENVS)
+    stepped = FB.mono_autoreset_step(cfg, "rule")
+
+    def body(st, _):
+        st, out = stepped(st, jnp.zeros(N_ENVS, jnp.int32))
+        return st, out.reward.sum()
+
+    long_steps = 8192
+    run = jax.jit(lambda st: lax.scan(body, st, None, length=long_steps))
+    return _time_chain(run, st, N_ENVS * long_steps, chain=1)
+
+
 def bench_sharded_mono_rule(cfg):
     """The multi-chip production path on however many devices are
     attached (one chip in this environment): the fastb env step under
@@ -326,6 +344,7 @@ def main():
     kernel_ab = assert_sort_kernel_bitwise(cfg)
     step_ab = assert_step_kernel_bitwise(cfg)
     rule = bench_mono_rule(cfg)
+    rule_long = bench_mono_rule_long(cfg)
     rule_full = bench_mono_rule(load_config())
     sharded = bench_sharded_mono_rule(cfg)
     fused = bench_fused_policy(cfg)
@@ -337,6 +356,7 @@ def main():
     extra = {
         "sort_kernel_bitwise_ab": kernel_ab,
         "step_kernel_bitwise_ab": step_ab,
+        "mono_rule_scan8192_env_steps_per_sec": round(rule_long, 1),
         "sharded_mono_rule_env_steps_per_sec": round(sharded, 1),
         "mono_rule_full_bale_env_steps_per_sec": round(rule_full, 1),
         "fused_policy_env_steps_per_sec": round(fused, 1),
