@@ -229,6 +229,37 @@ def assert_step_kernel_bitwise(cfg):
         if not bool(jnp.array_equal(getattr(out_x, nm),
                                     getattr(out_p, nm))):
             raise AssertionError(f"step kernel diverged on out.{nm}")
+
+    # Trajectory A/B (ADVICE r4): 640 autoreset steps cross dozens of
+    # press completions (timers 12/15 -> the event-append branch) AND
+    # the max_steps=600 episode boundary (the fused-autoreset branch) —
+    # branches a 1-step assert never reaches.  Final state + summed
+    # rewards asserted bit-equal, and the branch crossings are proven,
+    # not assumed.
+    traj = 640
+
+    def mk(c):
+        stepped = FB.mono_autoreset_step(c, "rule")
+
+        def body(s, _):
+            s, out = stepped(s, jnp.zeros(4096, jnp.int32))
+            return s, out.reward.sum()
+
+        return jax.jit(lambda s: lax.scan(body, s, None, length=traj))
+
+    st0 = FB.reset_batch(cfg_x, jax.random.PRNGKey(11), 4096)
+    fs_x, rew_x = mk(cfg_x)(st0)
+    fs_p, rew_p = mk(cfg)(st0)
+    for nm, a, b in zip(FB.BState._fields, fs_x, fs_p):
+        if a is not None and not bool(jnp.array_equal(a, b)):
+            raise AssertionError(
+                f"step kernel diverged on trajectory state.{nm}")
+    if not bool(jnp.array_equal(rew_x, rew_p)):
+        raise AssertionError("step kernel diverged on trajectory rewards")
+    if int(jnp.max(fs_p.ev_cnt)) <= 0:
+        raise AssertionError("trajectory A/B crossed no press completion")
+    if int(jnp.max(fs_p.current_step)) >= traj:
+        raise AssertionError("trajectory A/B crossed no episode boundary")
     return "PASS"
 
 

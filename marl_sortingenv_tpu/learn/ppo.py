@@ -127,8 +127,13 @@ class VariantSpec:
             if self.name == "press":
                 return lambda cfg, st, a: mod.step_press(
                     cfg, st, a, sort_policy, use_action_masking)
-            return lambda cfg, st, a: mod.step_mono_external(
+            f = lambda cfg, st, a: mod.step_mono_external(  # noqa: E731
                 cfg, st, a, use_action_masking)
+            # tag so batched_autoreset_step can PROVE the fused-kernel
+            # fast path it substitutes is equivalent to this step, and
+            # fall back loudly-correctly for any other mono step_fn
+            f._mono_step = ("external", use_action_masking)
+            return f
         if self.name == "sort":
             return ST.step_sort
         if self.name == "press":
@@ -175,12 +180,22 @@ class VariantSpec:
     def batched_autoreset_step(self, cfg: SimConfig, step_fn,
                                use_action_masking: bool = True):
         if self.engine == "fastb":
-            if self.name == "mono":
+            tag = getattr(step_fn, "_mono_step", None)
+            if self.name == "mono" and tag is not None:
                 # fuses the terminated-instance reset into the full-step
                 # kernel when it applies (falls back to the generic
-                # wrapper otherwise) — bitwise-identical either way
-                return FB.mono_autoreset_step(cfg, "external",
-                                              use_action_masking)
+                # wrapper otherwise) — bitwise-identical either way.
+                # The substitution is only valid because the tag proves
+                # step_fn IS step_mono_external with this masking flag;
+                # an untagged custom mono step takes the generic wrapper
+                # below instead of being silently replaced (ADVICE r4).
+                variant, masked = tag
+                if masked != use_action_masking:
+                    raise ValueError(
+                        "step_fn was built with use_action_masking="
+                        f"{masked} but batched_autoreset_step got "
+                        f"{use_action_masking}")
+                return FB.mono_autoreset_step(cfg, variant, masked)
             return self.wrap_autoreset(cfg, step_fn)
         return jax.vmap(self.wrap_autoreset(cfg, step_fn))
 

@@ -30,11 +30,14 @@ from ..utils.metrics import MetricsLogger
 from . import ppo
 
 
-# Env-batch size above which the trainer dispatches PPO iterations one
-# jit call at a time instead of in lax.scan segments: BENCH_r03 measured
-# the segmented scan 5-13% slower at 4096/8192 envs (its win is the
-# dispatch-gap removal, which only matters when the per-iteration device
-# time is comparable to the ~1.7 ms host dispatch — i.e. small batches).
+# Largest env-batch size (INCLUSIVE) at which the trainer batches PPO
+# iterations into lax.scan segments; above it, iterations dispatch one
+# jit call at a time: BENCH_r03 measured the segmented scan 5-13% slower
+# at 4096/8192 envs (its win is the dispatch-gap removal, which only
+# matters when the per-iteration device time is comparable to the
+# ~1.7 ms host dispatch — i.e. small batches).  The crossover was
+# measured at 16 (segments win) vs 4096/8192 (per-iteration wins);
+# 1024 is an interpolated boundary, not a measured one.
 SEGMENT_MAX_ENVS = 1024
 
 
@@ -106,7 +109,7 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
     # already overlaps the gap — BENCH_r03 measured segments 5-13%
     # SLOWER at 4096/8192 envs (scan carry round-trips through HBM every
     # iteration) — so those run ppo.make_train_iteration chained.
-    use_segments = n_envs < SEGMENT_MAX_ENVS
+    use_segments = n_envs <= SEGMENT_MAX_ENVS
     seg_cap = 8
     runs = {}
 

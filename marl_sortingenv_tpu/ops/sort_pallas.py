@@ -217,7 +217,21 @@ def pjit_auto_sharded(x) -> bool:
         mesh = t.sharding.mesh
         return (not mesh.empty) and mesh.size > 1 and not t.vma
     except AttributeError:
-        return False
+        # Fail SAFE, not open: if a JAX upgrade renames the aval's
+        # .sharding/.vma introspection, degrade to the XLA fallback
+        # whenever a multi-device context is plausible rather than
+        # silently re-enabling the SPMD-opaque kernel (the silent
+        # batch-replication this guard exists to prevent).  A committed
+        # multi-device sharding on the concrete array is itself the
+        # unsafe case; failing that, any multi-device process is treated
+        # as potentially auto-sharded.
+        try:
+            s = getattr(x, "sharding", None)
+            if s is not None and getattr(s, "num_devices", 1) > 1:
+                return True
+            return len(jax.devices()) > 1
+        except Exception:
+            return True
 
 
 def supported(n_envs: int) -> bool:

@@ -56,11 +56,25 @@ F32 = jnp.float32
 
 _STEP_TILE = 32  # sublane rows (= 4096 envs) per grid program: the step
 # kernel's live set (state + E event rows + the sampler's (support,
-# tile, 128) pmf buffers) stays well under the VMEM budget at 32.
+# tile, 128) pmf buffers) stays under the VMEM budget at 32 for the
+# default event-log depth.
+
+# VMEM guard for the event log (ADVICE r4): the 3 i16 event arrays are
+# 3*E*tile*128*2 B PER SIDE, and exist as both input and output blocks
+# (plus Pallas pipeline buffering), so the event working set scales as
+# E*tile.  Rather than trust a theoretical double-buffering model, the
+# cap is anchored to the measured-good configuration — E=94 (the
+# default max_steps=600 log depth) at tile=32 compiles and runs on
+# chip — and tiles shrink proportionally for deeper logs so E*tile
+# never exceeds that proven product.
+_EV_TILE_PRODUCT = 94 * 32
 
 
-def _tile_for(bs: int) -> int:
-    for t in range(min(bs, _STEP_TILE), 0, -1):
+def _tile_for(bs: int, E: int = 0) -> int:
+    cap = _STEP_TILE
+    if E > 0:
+        cap = min(cap, max(1, _EV_TILE_PRODUCT // E))
+    for t in range(min(bs, cap), 0, -1):
         if bs % t == 0:
             return t
     return 1
@@ -523,11 +537,14 @@ def _cfg_consts(cfg):
     )
 
 
-_MAX_EVENTS = 256  # VMEM bound: the 3 (E, tile, 128) i16 event blocks
-# are 3*E*32*128*2 B = 2 MB at E=256; configs with longer episodes
-# (default E = T/12 + T/15 + 4, so T up to ~1400) keep the kernel, and
-# anything beyond falls back to the XLA path rather than overflowing
-# the ~16 MB/core budget alongside the sampler's pmf buffers.
+_MAX_EVENTS = 256  # Event-log depth cap.  The VMEM pressure of deep
+# logs is handled by _tile_for's E-aware tile shrink (E*tile bounded by
+# the measured-good _EV_TILE_PRODUCT, counting that the 3 i16 event
+# arrays appear as input AND output blocks plus pipeline buffering —
+# ~6.3 MB/side at E=256/tile=32 had tiles not shrunk); this cap bounds
+# the per-step O(E) event-scatter compute so extreme logs don't turn
+# every step into an event-log sweep.  Configs beyond it (max_steps
+# ~1500+) fall back to the XLA path.
 
 
 def supported(cfg, n_envs: int) -> bool:
@@ -555,8 +572,8 @@ def step_mono(cfg, st, action, *, variant, masked=True, support,
             f"(got bale_mode={getattr(cfg, 'bale_mode', 'full')!r}, "
             f"n={n})")
     bs = n // 128
-    tile = _tile_for(bs)
     E = cfg.max_press_events
+    tile = _tile_for(bs, E)
 
     def pack(x, rows, dtype):
         x = jnp.asarray(x, dtype)

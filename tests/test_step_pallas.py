@@ -155,6 +155,33 @@ def test_step_kernel_event_log_vmem_bound():
         FB._use_step_kernel(big.with_(step_kernel="pallas"), st)
 
 
+def test_step_kernel_press_completion_events_bitwise():
+    """The press-completion / event-append branch (ADVICE r4): with
+    press times 1/2 and a small balesize, presses START and FINISH
+    within the horizon, so ev_mat/ev_n/ev_q/ev_cnt take real writes on
+    both sides instead of comparing trivially-zero.  The assert at the
+    end proves the branch was actually crossed."""
+    cfg = load_config(bale_mode="events", max_steps=24,
+                      press_time_1=1, press_time_2=2, balesize=16)
+    support = FB._support_for(cfg)
+    n, steps = 128, 8
+    st0 = FB.reset_batch(cfg, jax.random.PRNGKey(7), n)
+    fx = jax.jit(lambda s: FB.step_mono_rule(cfg, s))
+    st_x = st_p = st0
+    for t in range(steps):
+        st_x, out_x = fx(st_x)
+        st_p, out_p = SPK.step_mono(cfg, st_p, None, variant="rule",
+                                    support=support, interpret=True)
+    for nm, a_, b_ in zip(FB.BState._fields, st_x, st_p):
+        if a_ is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_),
+                                      err_msg=f"state.{nm}")
+    # the branch must have fired: some env appended at least one event
+    assert int(np.asarray(st_x.ev_cnt).max()) > 0, \
+        "no press completed — the event-append branch was not exercised"
+
+
 def test_step_kernel_variant_config_bitwise():
     """The kernel bakes config constants (floor(ratio*batch) units and
     remainder per pattern, press times, balesize, capacities, reward
