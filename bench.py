@@ -376,7 +376,7 @@ def main():
     step_ab = assert_step_kernel_bitwise(cfg)
     rule = bench_mono_rule(cfg)
     rule_long = bench_mono_rule_long(cfg)
-    rule_full = bench_mono_rule(load_config())
+    rule_full = bench_mono_rule(load_config(bale_mode="full"))
     sharded = bench_sharded_mono_rule(cfg)
     fused = bench_fused_policy(cfg)
     train_sps, train_ups = bench_train_iteration(cfg, N_ENVS)
@@ -408,8 +408,8 @@ def main():
             "chain": TRAIN_CHAIN},
     }
     if "--protocol" in sys.argv:
-        # full bale mode: the trainer's eval/checkpoint paths consume the
-        # materialized state (same config the 261.6 s capture used)
+        # default config (bale_mode="auto" -> events on fastb since r5)
+        # — the drop-in user's configuration
         extra["protocol_3stage_100k_wall_s"] = round(
             bench_protocol(load_config()), 1)
 

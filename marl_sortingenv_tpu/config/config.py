@@ -70,14 +70,21 @@ class SimConfig:
     # --- TPU-build parameters (no reference counterpart) ---
     max_bales: int = 112  # fixed-capacity ring for the variable-length lists
     # Bale bookkeeping strategy of the batch-last engine (core.fastb):
-    # "full"   — materialize the (5, max_bales, N) ring buffers every step
-    #            (drop-in state layout, matches core.fast bit-for-bit);
+    # "auto"   — (default) the engine picks "events", the production
+    #            path (~3.4x faster at 4096 envs: BENCH_r04 182.7M vs
+    #            54.0M env-steps/s); engines without an event mode
+    #            (core.fast, the parity/exact engines) are unaffected.
+    # "full"   — materialize the (5, max_bales, N) ring buffers every step.
+    #            The one reason to pick it: consumers that read the dense
+    #            bale_size/bale_qual/bale_cnt arrays straight off the
+    #            DEVICE state inside jit (the host-side accessors rebuild
+    #            them losslessly from events, but only outside jit);
     # "events" — record one (material, amount, quality) event per finished
     #            press into an (max_press_events, N) log and rebuild the
     #            exact bale lists on host only when a consumer needs them
     #            (core.bale_events).  Lossless, and removes the dominant
     #            HBM write traffic of the step (the bale buffers).
-    bale_mode: str = "full"
+    bale_mode: str = "auto"
     max_press_events: int = 36  # >= floor(T/12)+floor(T/15)+slack for T=200
     # Sorting-redistribution implementation of the batch-last engine:
     # "auto"   — fused Pallas kernel (ops/sort_pallas.py) on TPU when the

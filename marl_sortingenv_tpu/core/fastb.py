@@ -178,9 +178,34 @@ def _vcategorical(keys, logits_nm):
 # Reset
 # ---------------------------------------------------------------------------
 
+def resolved_bale_mode(cfg: SimConfig) -> str:
+    """This engine's reading of ``cfg.bale_mode``: "auto" resolves to
+    "events" (the production path — the fused step kernel requires it
+    and it removes the dominant HBM write traffic); engines without an
+    event mode ignore bale_mode entirely, so "auto" costs them nothing."""
+    m = getattr(cfg, "bale_mode", "full")
+    return "events" if m in ("auto", "events") else "full"
+
+
 def _bale_zeros(cfg: SimConfig, n: int) -> dict:
-    if cfg.bale_mode == "events":
+    if resolved_bale_mode(cfg) == "events":
         e = cfg.max_press_events
+        # Guard the IMPLICIT default path only: users who were silently
+        # routed to events by bale_mode="auto" must not overflow the log
+        # (SimConfig built directly, bypassing load_config's automatic
+        # sizing).  Explicit bale_mode="events" configs may legitimately
+        # bound E below the worst case when they run fewer steps —
+        # core.bale_events.rebuild_bales still hard-fails on overflow.
+        if getattr(cfg, "bale_mode", "full") == "auto":
+            needed = (cfg.max_steps // max(1, cfg.press_time_1)
+                      + cfg.max_steps // max(1, cfg.press_time_2))
+            if e < needed:
+                raise ValueError(
+                    f"max_press_events={e} cannot hold the {needed} press "
+                    f"completions a max_steps={cfg.max_steps} episode can "
+                    "produce — build the config via load_config() (which "
+                    "sizes it automatically), raise max_press_events, or "
+                    "set bale_mode explicitly")
         return dict(bale_size=None, bale_qual=None, bale_cnt=None,
                     ev_mat=jnp.zeros((e, n), I16),
                     ev_n=jnp.zeros((e, n), I16),
@@ -562,7 +587,7 @@ def _press_bale(cfg: SimConfig, st: BState, m, n, q, pred) -> BState:
     In event mode the press finish is appended to the compact (E, N) log
     instead; the dense bale lists are a deterministic host-side replay
     (core.bale_events.rebuild_bales, tested bitwise vs full mode)."""
-    if cfg.bale_mode == "events":
+    if resolved_bale_mode(cfg) == "events":
         lanes = lax.broadcasted_iota(I32, (st.ev_n.shape[0], 1), 0)
         hit = (lanes == st.ev_cnt[None, :]) & pred[None, :]
         return st._replace(

@@ -58,7 +58,37 @@ def checksum(state) -> Dict[str, int]:
     }
 
 
-def print_checksum(state, seed=None) -> None:
+def first_inputs(cfg, seed, k: int = 10) -> List[str]:
+    """Replay the seasonal input generator's FIRST batch on the host and
+    return its first ``k`` unit symbols — the reference's "First 10
+    elements" checksum line (``utils/plotting.py:676-678``, fed by
+    ``env_super.py:446`` ``input_history_batches``).
+
+    The device engines carry material *counts*; the per-unit symbol
+    order only exists inside the generator's shuffle
+    (``utils/input_generator.py:49-62``).  That generator draws from a
+    plain ``np.random.default_rng(seed)`` stream (permutation of the 2
+    pattern keys, one ``choice`` per remainder unit, one ``shuffle`` of
+    the batch), so an exact host replay of the first batch is three
+    numpy calls — no engine state needed, bit-exact by construction."""
+    names = ["A", "B", "C", "D"]
+    patterns = {1: [0.40, 0.15, 0.35, 0.10],   # A & C dominant
+                2: [0.15, 0.40, 0.10, 0.35]}   # B & D dominant
+    rng = np.random.default_rng(seed)
+    seq = rng.permutation(list(patterns.keys()))
+    ratios = patterns[int(seq[0])]
+    bs = cfg.input_batch_size
+    units = {m: int(np.floor(r * bs)) for m, r in zip(names, ratios)}
+    for _ in range(bs - sum(units.values())):
+        units[str(rng.choice(names))] += 1
+    batch: List[str] = []
+    for m in names:
+        batch.extend([m] * units[m])
+    rng.shuffle(batch)
+    return batch[:k]
+
+
+def print_checksum(state, seed=None, cfg=None) -> None:
     c = checksum(state)
     print(
         f"🔍 Checksum (Seed={seed}): {c['checksum']} = "
@@ -66,3 +96,5 @@ def print_checksum(state, seed=None) -> None:
         f"{c['bales']} Bales)"
     )
     print("🔍 Length of Inputs: ", c["input_length"])
+    if cfg is not None and seed is not None:
+        print(f"First 10 elements: {first_inputs(cfg, seed)}")

@@ -249,14 +249,14 @@ def run_training_flow(cfg: SimConfig, use_action_masking: bool,
 
     if verbose:
         print("\n--- Running Final Model Benchmark ---")
+    # print_table renders the reference's per-seed lines + pandas
+    # summary table (benchmark_models.py:26-47, 176-181)
     summary, rows = harness.run_model_benchmark(
         cfg, num_seeds=bench_seeds, steps=steps_test,
         sort_params=sort_res.params, press_params=press_res.params,
         mono_params=mono_res.params,
-        use_action_masking=use_action_masking)
-    if verbose:
-        for k, v in summary.items():
-            print(f"  {k:>14}: {v['mean']:8.2f} ± {v['std']:.2f}")
+        use_action_masking=use_action_masking,
+        print_table=verbose)
     return {
         "sort": sort_res, "press": press_res, "mono": mono_res,
         "benchmark": summary, "benchmark_rows": rows,

@@ -550,7 +550,7 @@ _MAX_EVENTS = 256  # Event-log depth cap.  The VMEM pressure of deep
 def supported(cfg, n_envs: int) -> bool:
     """Events bale mode, whole 128-lane rows, bounded event log; no
     upper batch cap (grid over _STEP_TILE-row tiles)."""
-    return (getattr(cfg, "bale_mode", "full") == "events"
+    return (getattr(cfg, "bale_mode", "full") in ("auto", "events")
             and cfg.max_press_events <= _MAX_EVENTS
             and n_envs % 128 == 0 and n_envs >= 128)
 

@@ -27,7 +27,10 @@ N = 8
 
 
 def _cfgs(**kw):
-    return (load_config(noise_sorting=0.0, balesize=200, **kw),
+    # full mode must be requested explicitly since bale_mode defaults to
+    # "auto" (-> events on fastb, round 5)
+    return (load_config(noise_sorting=0.0, balesize=200,
+                        bale_mode="full", **kw),
             load_config(noise_sorting=0.0, balesize=200,
                         bale_mode="events", **kw))
 

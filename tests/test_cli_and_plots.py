@@ -118,3 +118,72 @@ def test_wrapper_render_series_match_harness(tmp_path):
     env.render(save=True, show=False, log_dir=str(tmp_path),
                filename="series", format="png", checksum=False)
     assert any(f.startswith("series") for f in os.listdir(tmp_path))
+
+
+def test_checksum_block_byte_parity_with_reference():
+    """The full console checksum fingerprint — including the "First 10
+    elements" input-symbol line (plotting.py:663-678) — must be
+    byte-identical to the reference's for a seeded rule-mode episode.
+    The symbol order only exists inside the generator's host RNG, so
+    episode_log.first_inputs replays that stream (VERDICT r4 missing #2)."""
+    import contextlib
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import matplotlib
+    matplotlib.use("Agg")
+
+    import reference_oracle as oracle
+    from marl_sortingenv_tpu.core import state as S, step as ST
+    from marl_sortingenv_tpu.eval import episode_log as EL
+
+    cfg = load_config(max_steps=200, noise_sorting=0.0, balesize=200)
+    seed, steps = 42, 200
+
+    env = oracle.make_env("mono", max_steps=200, seed=seed)
+    with oracle.reference_cwd():
+        env.reset(seed=seed)
+        for _ in range(steps):
+            env.step(action=None, mode="rule_based", use_action_masking=True)
+        from utils.plotting import plot_env
+        buf_ref = io.StringIO()
+        with contextlib.redirect_stdout(buf_ref):
+            plot_env(env, save=False, show=False, checksum=True)
+    ref_lines = [ln for ln in buf_ref.getvalue().splitlines()
+                 if ln.startswith(("\N{LEFT-POINTING MAGNIFYING GLASS}",
+                                   "First 10 elements"))]
+    assert len(ref_lines) == 3, ref_lines
+
+    st = S.reset(cfg, seed)
+
+    def body(st, _):
+        st, out = ST.step_mono_rule(cfg, st)
+        return st, out.reward
+
+    st_f, _ = jax.jit(lambda st: lax.scan(body, st, None, length=steps))(st)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        EL.print_checksum(st_f, seed=seed, cfg=cfg)
+    our_lines = [ln for ln in buf.getvalue().splitlines()
+                 if ln.startswith(("\N{LEFT-POINTING MAGNIFYING GLASS}",
+                                   "First 10 elements"))]
+    assert our_lines == ref_lines
+
+
+def test_first_inputs_matches_reference_generator():
+    """first_inputs replays the generator stream exactly across seeds
+    and batch sizes (permutation + remainder choices + shuffle)."""
+    import reference_oracle as oracle
+    from marl_sortingenv_tpu.eval.episode_log import first_inputs
+
+    with oracle.reference_cwd():
+        from utils.input_generator import SeasonalInputGenerator
+
+    for seed in (0, 7, 42, 123):
+        for bs in (100, 80):
+            gen = SeasonalInputGenerator(seed=seed)
+            ref_first = list(gen.generate_input(batchsize=bs))[:10]
+            cfg = load_config(input_batch_size=bs)
+            assert first_inputs(cfg, seed) == ref_first, (seed, bs)

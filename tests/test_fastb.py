@@ -73,7 +73,9 @@ def _run_pair(cfg, step_f, step_b, actions=None, autoreset=False,
 
 @pytest.fixture(scope="module")
 def cfg():
-    return load_config()
+    # this suite proves fastb's FULL bale layout bit-equals the per-env
+    # fast engine, so pin bale_mode (the default "auto" -> events)
+    return load_config(bale_mode="full")
 
 
 def test_reset_bitwise(cfg):
@@ -90,7 +92,7 @@ def test_mono_rule_bitwise(cfg):
 
 
 def test_mono_rule_autoreset_bitwise(cfg):
-    short = load_config(max_steps=37)
+    short = load_config(max_steps=37, bale_mode="full")
     _run_pair(short, lambda c, s, a: FE.step_mono_rule(c, s),
               lambda c, s, a: FB.step_mono_rule(c, s),
               autoreset=True, steps=120)
@@ -141,7 +143,8 @@ def test_press_unmasked_bitwise(cfg):
 
 
 def test_noise_config_bitwise():
-    noisy = load_config(noise_sorting=0.05, balesize=150)
+    noisy = load_config(noise_sorting=0.05, balesize=150,
+                        bale_mode="full")
     _run_pair(noisy, lambda c, s, a: FE.step_mono_rule(c, s),
               lambda c, s, a: FB.step_mono_rule(c, s), steps=100)
 

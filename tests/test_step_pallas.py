@@ -86,11 +86,11 @@ def test_step_kernel_flag_resolution():
     assert not FB._use_step_kernel(cfg, st)
     assert not FB._use_step_kernel(cfg.with_(step_kernel="xla"), st)
     assert FB._use_step_kernel(cfg.with_(step_kernel="pallas"), st)
-    # full bale mode unsupported
-    st_full = FB.reset_batch(load_config(max_steps=36),
+    # full bale mode unsupported (explicit since the default is "auto")
+    st_full = FB.reset_batch(load_config(max_steps=36, bale_mode="full"),
                              jax.random.PRNGKey(0), 128)
     with pytest.raises(ValueError, match="events"):
-        FB._use_step_kernel(load_config(max_steps=36,
+        FB._use_step_kernel(load_config(max_steps=36, bale_mode="full",
                                         step_kernel="pallas"), st_full)
     # ragged batch unsupported
     st_r = FB.reset_batch(cfg, jax.random.PRNGKey(0), 100)
