@@ -41,6 +41,13 @@ from . import ppo
 SEGMENT_MAX_ENVS = 1024
 
 
+def _resume_tree(ts, best_eval, next_eval):
+    """Template pytree for full-run checkpoints (shapes/structure only —
+    values come from the restore)."""
+    return {"ts": ts, "iter": 0, "best_eval": float(best_eval),
+            "best_params": ts.params, "next_eval": int(next_eval)}
+
+
 @dataclasses.dataclass
 class TrainResult:
     params: mlp.ACParams
@@ -60,12 +67,26 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
                 logger: Optional[MetricsLogger] = None,
                 init_params: Optional[mlp.ACParams] = None,
                 tuned: bool = False,
+                ckpt_dir: Optional[str] = None,
+                resume: bool = False,
                 verbose: bool = True) -> TrainResult:
     """``Train_Agent`` equivalent.  ``variant``: 'sort'|'press'|'mono'.
 
     Masking policy mirrors training.py:57-68: only 'press' and 'mono' use
     the ActionMasker path; with masking off their invalid actions go
-    through the sanitize path inside the env step."""
+    through the sanitize path inside the env step.
+
+    ``ckpt_dir``: when set, the FULL train state (params + optimizer
+    state + env state + obs + RNG keys + iteration counter +
+    best-checkpoint bookkeeping) is durably checkpointed at every eval
+    boundary (orbax, ``utils.checkpoint.save_train_state``; the 2
+    newest kept).  ``resume=True`` restores the latest such checkpoint
+    and continues the run; because iterations are deterministic
+    functions of the train state, a killed-and-resumed run produces
+    parameters BITWISE-equal to an uninterrupted one (asserted in
+    ``tests/test_trainer_and_eval.py::test_train_resume_bitwise``).
+    Pre-kill ``history`` entries are not replayed into the resumed
+    result."""
     spec = ppo.spec_for(variant, engine=engine)
     masking = use_action_masking and spec.use_mask
 
@@ -118,6 +139,20 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
     history = []
     next_eval = eval_freq
     t0 = time.time()
+    start_k = 0
+    if resume and ckpt_dir:
+        s = CK.latest_step(ckpt_dir)
+        if s is not None:
+            like = _resume_tree(ts, best_eval, next_eval)
+            r = CK.restore_train_state(ckpt_dir, s, like)
+            ts = r["ts"]
+            start_k = int(r["iter"])
+            best_eval = float(r["best_eval"])
+            best_params = r["best_params"]
+            next_eval = int(r["next_eval"])
+            if verbose:
+                print(f"  [{variant}] resumed from {ckpt_dir} step {s} "
+                      f"(iteration {start_k}/{n_iters})")
 
     def run_segment(ts, k):
         # cut segments at the iteration where cumulative samples cross
@@ -149,7 +184,7 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
                      for kk in pend[0]}
         return ts, seg_stats, n
 
-    k = 0
+    k = start_k
     while k < n_iters:
         ts, seg_stats, n = run_segment(ts, k)
         for j in range(n):
@@ -184,6 +219,14 @@ def train_agent(cfg: SimConfig, variant: str, total_timesteps: int,
             if verbose:
                 print(f"  [{variant}] {steps_done}/{total_timesteps} "
                       f"eval {m:.2f} (best {best_eval:.2f})")
+            if ckpt_dir:
+                # durable full-state checkpoint at the eval boundary:
+                # everything a bitwise resume needs (see docstring)
+                CK.save_train_state(
+                    ckpt_dir, steps_done,
+                    {"ts": ts, "iter": k, "best_eval": best_eval,
+                     "best_params": best_params, "next_eval": next_eval})
+                CK.prune_train_states(ckpt_dir, keep=2)
 
     # final evaluation, keep best checkpoint if better (training.py:196-209)
     rets = np.asarray(ppo.evaluate(
@@ -218,16 +261,34 @@ def run_training_flow(cfg: SimConfig, use_action_masking: bool,
                       models_dir: str = "./models",
                       logger: Optional[MetricsLogger] = None,
                       tuned: bool = False,
+                      ckpt_dir: Optional[str] = None,
+                      resume: bool = False,
                       verbose: bool = True) -> Dict:
-    """main.py:137-185: sort -> press(frozen sort) -> mono -> benchmark."""
+    """main.py:137-185: sort -> press(frozen sort) -> mono -> benchmark.
+
+    ``ckpt_dir``/``resume``: per-stage full-state checkpointing (see
+    ``train_agent``) in ``<ckpt_dir>/<variant>_<Masked|NoMask>``.  A
+    killed flow resumed with ``resume=True`` fast-forwards completed
+    stages (their last checkpoint is at/near the final iteration, so the
+    training loop re-runs at most the post-checkpoint tail) and
+    continues the interrupted stage from its last eval boundary."""
+    import os
+
     tagm = "Masked" if use_action_masking else "NoMask"
+
+    def stage_ckpt(variant):
+        if ckpt_dir is None:
+            return None
+        return os.path.join(ckpt_dir, f"{variant}_{tagm}")
+
     if verbose:
         print(f"\n[1/3] Training Sorting Agent ({tagm})...")
     sort_res = train_agent(cfg, "sort", total_timesteps, n_envs,
                            use_action_masking, seed=seed, engine=engine,
                            models_dir=models_dir,
                            save_prefix=f"PPO_Sorting_{tagm}", logger=logger,
-                           tuned=tuned,
+                           tuned=tuned, ckpt_dir=stage_ckpt("sort"),
+                           resume=resume,
                            verbose=verbose)
     if verbose:
         print(f"\n[2/3] Training Pressing Agent ({tagm})...")
@@ -236,14 +297,17 @@ def run_training_flow(cfg: SimConfig, use_action_masking: bool,
                             sort_params=sort_res.params, seed=seed,
                             engine=engine, models_dir=models_dir,
                             save_prefix=f"PPO_Pressing_{tagm}",
-                            logger=logger, tuned=tuned, verbose=verbose)
+                            logger=logger, tuned=tuned,
+                            ckpt_dir=stage_ckpt("press"), resume=resume,
+                            verbose=verbose)
     if verbose:
         print(f"\n[3/3] Training Monolith Agent ({tagm})...")
     mono_res = train_agent(cfg, "mono", total_timesteps, n_envs,
                            use_action_masking, seed=seed, engine=engine,
                            models_dir=models_dir,
                            save_prefix=f"PPO_Monolith_{tagm}", logger=logger,
-                           tuned=tuned, verbose=verbose)
+                           tuned=tuned, ckpt_dir=stage_ckpt("mono"),
+                           resume=resume, verbose=verbose)
 
     from ..eval import harness
 

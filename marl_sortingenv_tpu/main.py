@@ -89,7 +89,8 @@ def run_sim(args) -> dict:
             seed=args.seed, engine=args.engine,
             bench_seeds=args.bench_seeds, steps_test=args.steps,
             models_dir=args.models_dir, logger=logger,
-            tuned=args.tuned)
+            tuned=args.tuned, ckpt_dir=args.ckpt_dir,
+            resume=args.resume)
         logger.close()
         bench_dir = plots.make_benchmark_dir(
             os.path.join(args.fig_dir, "benchmarks"),
@@ -125,6 +126,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None, help="reference-format yml")
     p.add_argument("--tag", default=None)
     p.add_argument("--models-dir", default="./models")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="directory for durable full-train-state "
+                        "checkpoints (params + optimizer + env state + "
+                        "RNG), written at every eval boundary")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint in --ckpt-dir and "
+                        "continue; a resumed run's parameters are bitwise-"
+                        "equal to an uninterrupted one")
     p.add_argument("--log-dir", default="./log")
     p.add_argument("--fig-dir", default="./img")
     return p

@@ -103,6 +103,22 @@ def restore_train_state(ckpt_dir: str, step: int, like):
         jax.tree_util.tree_leaves(restored))
 
 
+def prune_train_states(ckpt_dir: str, keep: int = 2) -> None:
+    """Delete all but the ``keep`` newest ``step_*`` checkpoints."""
+    if not os.path.isdir(ckpt_dir):
+        return
+    steps = []
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("step_"):
+            try:
+                steps.append(int(d.split("_")[1]))
+            except ValueError:
+                pass
+    for s in sorted(steps)[:-keep] if keep else sorted(steps):
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"),
+                      ignore_errors=True)
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
