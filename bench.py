@@ -263,6 +263,86 @@ def assert_step_kernel_bitwise(cfg):
     return "PASS"
 
 
+def bench_sort_env(cfg):
+    """Env_1_Sorting at benchmark scale (BASELINE configs 1-3 name the
+    sort/press surfaces): external 2-way sort actions drawn on-device,
+    the env's masked random press + autoreset fused into the full-step
+    kernel (round 5)."""
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(2), N_ENVS)
+    stepped = FB.mono_autoreset_step(cfg, "sort")
+
+    def body(carry, _):
+        st, key = carry
+        key, sk = jax.random.split(key)
+        a = jax.random.bernoulli(
+            sk, jnp.float32(0.5), (N_ENVS,)).astype(jnp.int32)
+        st, out = stepped(st, a)
+        return (st, key), out.reward.sum()
+
+    run = jax.jit(lambda c: lax.scan(body, c, None, length=N_STEPS))
+    return _time_chain(run, (st, jax.random.PRNGKey(3)), N_ENVS * N_STEPS)
+
+
+def bench_press_env(cfg):
+    """Env_2_Pressing at benchmark scale: masked-uniform press actions
+    drawn on-device (a representative always-valid policy), rule-based
+    sort mode inside the step, autoreset fused into the kernel."""
+    st = FB.reset_batch(cfg, jax.random.PRNGKey(4), N_ENVS)
+    stepped = FB.mono_autoreset_step(cfg, "press")
+
+    def body(carry, _):
+        st, key = carry
+        key, sk = jax.random.split(key)
+        mask = FB.press_action_masks(cfg, st)
+        u = jax.random.uniform(sk, (N_ENVS,), jnp.float32)
+        a = FB.masked_uniform_choice(mask, u)
+        st, out = stepped(st, a)
+        return (st, key), out.reward.sum()
+
+    run = jax.jit(lambda c: lax.scan(body, c, None, length=N_STEPS))
+    return _time_chain(run, (st, jax.random.PRNGKey(5)), N_ENVS * N_STEPS)
+
+
+def assert_variant_kernels_bitwise(cfg):
+    """On-chip A/B for the round-5 sort/press kernel variants: 24
+    autoreset steps (max_steps=20 -> crosses an episode boundary; the
+    default press times tick and, at balesize 200, presses start) on a
+    4096-env state, kernel vs forced-XLA, all state leaves + outputs
+    bit-equal."""
+    if jax.default_backend() != "tpu":
+        return f"skipped (backend={jax.default_backend()})"
+    res = {}
+    for variant, na in (("sort", 2), ("press", 11)):
+        c = cfg.with_(max_steps=20)
+        cx = c.with_(step_kernel="xla")
+        rng = np.random.default_rng(31)
+        acts = jnp.asarray(rng.integers(0, na, size=(24, 4096)), jnp.int32)
+
+        def roll(cc):
+            stepped = FB.mono_autoreset_step(cc, variant)
+
+            def body(st, a):
+                st, out = stepped(st, a)
+                # obs compared ELEMENTWISE: a cross-program .sum() would
+                # compare XLA reduction orders, not the kernel
+                return st, (out.reward, out.obs)
+
+            st0 = FB.reset_batch(cc, jax.random.PRNGKey(41), 4096)
+            return jax.jit(lambda s: lax.scan(body, s, acts))(st0)
+
+        st_x, (rew_x, obs_x) = roll(cx)
+        st_p, (rew_p, obs_p) = roll(c)
+        for nm, a, b in zip(FB.BState._fields, st_x, st_p):
+            if a is not None and not bool(jnp.array_equal(a, b)):
+                raise AssertionError(
+                    f"{variant} kernel diverged on state.{nm}")
+        if not (bool(jnp.array_equal(rew_x, rew_p))
+                and bool(jnp.array_equal(obs_x, obs_p))):
+            raise AssertionError(f"{variant} kernel diverged on outputs")
+        res[variant] = "PASS"
+    return f"sort:{res['sort']} press:{res['press']}"
+
+
 def bench_fused_policy(cfg):
     """entry() shape at benchmark scale: masked argmax policy + env step,
     autoreset, one jitted scan."""
@@ -374,7 +454,10 @@ def main():
     cfg = load_config(bale_mode="events")
     kernel_ab = assert_sort_kernel_bitwise(cfg)
     step_ab = assert_step_kernel_bitwise(cfg)
+    var_ab = assert_variant_kernels_bitwise(cfg)
     rule = bench_mono_rule(cfg)
+    sort_env = bench_sort_env(cfg)
+    press_env = bench_press_env(cfg)
     rule_long = bench_mono_rule_long(cfg)
     rule_full = bench_mono_rule(load_config(bale_mode="full"))
     sharded = bench_sharded_mono_rule(cfg)
@@ -387,6 +470,9 @@ def main():
     extra = {
         "sort_kernel_bitwise_ab": kernel_ab,
         "step_kernel_bitwise_ab": step_ab,
+        "variant_kernels_bitwise_ab": var_ab,
+        "sort_env_steps_per_sec": round(sort_env, 1),
+        "press_env_steps_per_sec": round(press_env, 1),
         "mono_rule_scan8192_env_steps_per_sec": round(rule_long, 1),
         "sharded_mono_rule_env_steps_per_sec": round(sharded, 1),
         "mono_rule_full_bale_env_steps_per_sec": round(rule_full, 1),

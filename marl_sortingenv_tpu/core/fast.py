@@ -540,10 +540,15 @@ def _apply_sort(cfg, st, sort_mode):
 
 
 def _sample_masked_press(cfg, st):
+    """Uniform masked press pick — the log-free uniform-rank recipe
+    shared with fastb.masked_uniform_choice so the fused step kernel can
+    replicate the draw bitwise (see that docstring); consumes one split
+    + one f32 uniform from the key chain."""
+    from . import fastb as FB
+
     mask = press_action_masks(cfg, st)
     key, sk = jax.random.split(st.key)
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    a = jax.random.categorical(sk, logits).astype(I32)
+    a = FB.masked_uniform_choice(mask, jax.random.uniform(sk, dtype=F32))
     press_id = jnp.where(a == 0, 0, jnp.where(a <= 5, 1, 2)).astype(I32)
     mat = jnp.where(a == 0, 0, (a - 1) % 5).astype(I32)
     return press_id, mat, st._replace(key=key)

@@ -822,12 +822,28 @@ def _apply_sort(cfg, st, sort_mode):
     return _sort_material(cfg, st)
 
 
+def masked_uniform_choice(mask, u):
+    """Uniform pick over the True entries of ``mask[..., A]`` from ONE
+    f32 uniform: rank r = floor(u * n_valid) (clamped), return the index
+    of the (r+1)-th valid entry via an inclusive prefix count.
+
+    Log-free by design (vs Gumbel-argmax categorical): pure
+    compare/add/multiply arithmetic, so the fused step kernel
+    (ops/step_pallas.py) replicates the draw bit for bit — Mosaic and
+    XLA need not agree on transcendental lowerings.  Distribution: u is
+    a 24-bit-mantissa uniform and n_valid <= 22, so the pick is uniform
+    to ~2^-24 — the same granularity a Gumbel draw has per lane."""
+    c = jnp.cumsum(mask.astype(I32), axis=-1)
+    nv = c[..., -1]
+    r = jnp.minimum((u * nv.astype(F32)).astype(I32), nv - 1)
+    return jnp.sum((c <= r[..., None]).astype(I32), axis=-1).astype(I32)
+
+
 def _sample_masked_press(cfg, st: BState):
     mask = press_action_masks(cfg, st)                   # (N, 11)
     ks = _vsplit(st.key)
     key, sk = ks[:, 0], ks[:, 1]
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    a = _vcategorical(sk, logits).astype(I32)
+    a = masked_uniform_choice(mask, _vuniform(sk))
     press_id = jnp.where(a == 0, 0, jnp.where(a <= 5, 1, 2)).astype(I32)
     mat = jnp.where(a == 0, 0, (a - 1) % 5).astype(I32)
     return press_id, mat, st._replace(key=key)
@@ -838,6 +854,10 @@ def _sample_masked_press(cfg, st: BState):
 # ---------------------------------------------------------------------------
 
 def step_sort(cfg: SimConfig, st: BState, action):
+    if _use_step_kernel(cfg, st):
+        from ..ops import step_pallas
+        return step_pallas.step_mono(
+            cfg, st, action, variant="sort", support=_support_for(cfg))
     st = _update_environment(cfg, st)
     purity, st = _apply_sort(cfg, st, action)
     press_id, mat, st = _sample_masked_press(cfg, st)
@@ -852,6 +872,13 @@ def step_sort(cfg: SimConfig, st: BState, action):
 
 def step_press(cfg: SimConfig, st: BState, action, sort_policy=None,
                use_action_masking: bool = True):
+    if sort_policy is None and _use_step_kernel(cfg, st):
+        # (with a frozen sort policy the MLP forward stays in XLA — the
+        # kernel covers the rule-based sort_mode path only)
+        from ..ops import step_pallas
+        return step_pallas.step_mono(
+            cfg, st, action, variant="press", masked=use_action_masking,
+            support=_support_for(cfg))
     st = _update_environment(cfg, st)
     if sort_policy is not None:
         apply_fn, params = sort_policy
@@ -1028,8 +1055,9 @@ def with_autoreset(cfg: SimConfig, step_fn):
 
 def mono_autoreset_step(cfg: SimConfig, variant: str,
                         use_action_masking: bool = True):
-    """Autoreset rollout step ``(st, action) -> (st, out)`` for the
-    monolith variants ('rule' | 'external').
+    """Autoreset rollout step ``(st, action) -> (st, out)`` for any
+    kernel-covered variant ('rule' | 'external' | 'sort' | 'press' —
+    the name predates the sort/press extension).
 
     When the full-step kernel applies (ops/step_pallas.py), the
     terminated-instance reset is fused INTO the kernel (the
@@ -1042,15 +1070,20 @@ def mono_autoreset_step(cfg: SimConfig, variant: str,
     elif variant == "external":
         base = lambda c, s, a: step_mono_external(  # noqa: E731
             c, s, a, use_action_masking)
+    elif variant == "sort":
+        base = lambda c, s, a: step_sort(c, s, a)  # noqa: E731
+    elif variant == "press":
+        base = lambda c, s, a: step_press(  # noqa: E731
+            c, s, a, None, use_action_masking)
     else:
-        raise ValueError(f"unknown monolith variant {variant!r}")
+        raise ValueError(f"unknown variant {variant!r}")
     fallback = with_autoreset(cfg, base)
 
     def stepped(st, action):
         if _use_step_kernel(cfg, st):
             from ..ops import step_pallas
             return step_pallas.step_mono(
-                cfg, st, action if variant == "external" else None,
+                cfg, st, None if variant == "rule" else action,
                 variant=variant, masked=use_action_masking,
                 support=_support_for(cfg), autoreset=True)
         return fallback(st, action)

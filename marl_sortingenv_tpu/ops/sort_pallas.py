@@ -137,54 +137,64 @@ def _kernel(counts_ref, acc_ref, key_ref, leftover_ref, true_ref,
     k0 = key_ref[0]                       # (BS, L) u32
     k1 = key_ref[1]
 
-    # --- RNG section: the exact _sort_material key chain -------------
-    # per station: ks = split(key, 2); key, sk = ks[0], ks[1]
-    #              k3 = split(sk, 3); u_j = uniform(k3[j])
-    us = []                               # 12 x (BS, L) f32, station-major
+    # ONE lax.fori_loop over the 4 stations (round 5 — the unrolled form
+    # emitted the station body 4x and dominated Mosaic compile time; see
+    # step_pallas._kernel section 4 for the bitwise argument).  Each
+    # iteration: the exact _sort_material key chain for one station
+    # (split2 -> split3 -> 3 uniforms) then the 3 inverse-CDF draws.
     shape2 = (2,) + k0.shape
     shape3 = (3,) + k0.shape
     lo2 = lax.broadcasted_iota(U32, shape2, 0)
     lo3 = lax.broadcasted_iota(U32, shape3, 0)
     z2 = jnp.zeros(shape2, U32)
     z3 = jnp.zeros(shape3, U32)
-    for _ in range(4):
+    lv0 = jnp.stack([counts_ref[i] for i in range(4)])
+    accs = jnp.stack([acc_ref[i] for i in range(4)])
+    rows4 = lax.broadcasted_iota(I32, lv0.shape, 0)
+
+    def station(st_i, carry):
+        k0, k1, lv, tarr, farr = carry
         o0, o1 = _threefry(k0[None], k1[None], z2, lo2)    # split2
-        k0, k1 = o0[0], o1[0]
+        k0n, k1n = o0[0], o1[0]
         s0, s1 = o0[1], o1[1]
         p0, p1 = _threefry(s0[None], s1[None], z3, lo3)    # split3
         q0, q1 = _threefry(p0, p1, z3, z3)                 # 3 x bits(0,0)
         u = _bits_to_unit_f32(q0 ^ q1)
-        us.extend(u[j] for j in range(3))
+        sel_i = rows4 == st_i
+        target = lv[0]
+        acc_i = accs[0]
+        for j in (1, 2, 3):                # pure select chain, bit-exact
+            pick = st_i == j
+            target = jnp.where(pick, lv[j], target)
+            acc_i = jnp.where(pick, accs[j], acc_i)
+        true_val = jnp.rint(target.astype(F32) * acc_i).astype(I32)
+        false_val = target - true_val
+        tarr = jnp.where(sel_i, true_val[None], tarr)
+        farr = jnp.where(sel_i, false_val[None], farr)
+        lv = jnp.where(sel_i, false_val[None], lv)
+        # _mvhg4_u over the 4 leftover categories
+        N = lv[0] + lv[1] + lv[2] + lv[3]
+        n = jnp.minimum(false_val, N)
+        d0 = _hg_u(u[0], N, lv[0], n, support)
+        N1 = N - lv[0]
+        n1 = n - d0
+        d1 = _hg_u(u[1], N1, lv[1], n1, support)
+        N2 = N1 - lv[1]
+        n2 = n1 - d1
+        d2 = _hg_u(u[2], N2, lv[2], n2, support)
+        d3 = n2 - d2
+        lv = lv - jnp.stack([d0, d1, d2, d3]).astype(I32)
+        return k0n, k1n, lv, tarr, farr
+
+    k0, k1, lv, tarr, farr = lax.fori_loop(
+        0, 4, station, (k0, k1, lv0, jnp.zeros_like(lv0),
+                        jnp.zeros_like(lv0)))
     newkey_ref[0] = k0
     newkey_ref[1] = k1
-
-    # --- sampler section: fastb.redistribute_u op-for-op -------------
-    leftover = [counts_ref[i] for i in range(4)]
-    acc = [acc_ref[i] for i in range(4)]
     for i in range(4):
-        target = leftover[i]
-        true_val = jnp.rint(target.astype(F32) * acc[i]).astype(I32)
-        false_val = target - true_val
-        true_ref[i] = true_val
-        false_ref[i] = false_val
-        leftover[i] = false_val
-        # _mvhg4_u over the 4 leftover categories
-        N = leftover[0] + leftover[1] + leftover[2] + leftover[3]
-        n = jnp.minimum(false_val, N)
-        d0 = _hg_u(us[3 * i], N, leftover[0], n, support)
-        N1 = N - leftover[0]
-        n1 = n - d0
-        d1 = _hg_u(us[3 * i + 1], N1, leftover[1], n1, support)
-        N2 = N1 - leftover[1]
-        n2 = n1 - d1
-        d2 = _hg_u(us[3 * i + 2], N2, leftover[2], n2, support)
-        d3 = n2 - d2
-        leftover[0] = leftover[0] - d0
-        leftover[1] = leftover[1] - d1
-        leftover[2] = leftover[2] - d2
-        leftover[3] = leftover[3] - d3
-    for i in range(4):
-        leftover_ref[i] = leftover[i]
+        leftover_ref[i] = lv[i]
+        true_ref[i] = tarr[i]
+        false_ref[i] = farr[i]
 
 
 _TILE = 64  # sublane rows (= 8192 envs) per grid program; the sampler's

@@ -31,8 +31,12 @@ real chip in ``bench.py``).  The kernel mirrors the XLA path op for op:
   ``jnp.tanh`` exactly as ``fastb._sorting_reward`` does.
 
 Scope (static config): event-log bale mode only (the production
-configuration; ``bale_mode='full'`` keeps the XLA path), monolith
-variants ``rule`` and ``external`` (masked or sanitize-unmasked).
+configuration; ``bale_mode='full'`` keeps the XLA path).  Variants:
+monolith ``rule`` and ``external`` (masked or sanitize-unmasked), and —
+since round 5 — ``sort`` (Env_1, ``fastb.step_sort`` with the in-kernel
+masked random press) and ``press`` (Env_2, ``fastb.step_press`` without
+a frozen sort policy; reference ``env_1_sort.py:97-154`` /
+``env_2_press.py:88-165``).
 """
 
 from __future__ import annotations
@@ -147,7 +151,7 @@ def _kernel(cfg_c, refs, *, variant, masked, support, autoreset):
     (cstep,) = nxt(1)
     (totin,) = nxt(1)
     key = nxt(2)
-    action = nxt(1)[0] if variant == "external" else None
+    action = nxt(1)[0] if variant != "rule" else None
 
     # ---- 1. update_environment (fastb._update_environment) ----------
     sort_c = belt_c                      # sorting <- belt
@@ -177,9 +181,18 @@ def _kernel(cfg_c, refs, *, variant, masked, support, autoreset):
     acc_sorter = acc_belt                # one-step delay
 
     # ---- 2. action select -------------------------------------------
+    # sort_mode source: the flat action (external), the action itself
+    # (sort env, fastb.step_sort), or _sorting_rules on the NEW belt
+    # (rule mono + press env, fastb.step_press without a sort policy)
     if variant == "external":
         sort_mode = action // I32(11)
         press_disc = action % I32(11)
+    elif variant == "sort":
+        sort_mode = action
+    elif variant == "press":
+        sort_mode = jnp.where(belt_c[0] + belt_c[2] > belt_c[1] + belt_c[3],
+                              I32(0), I32(1))
+        press_disc = action
     else:
         # fastb._sorting_rules on the NEW belt
         sort_mode = jnp.where(belt_c[0] + belt_c[2] > belt_c[1] + belt_c[3],
@@ -219,51 +232,72 @@ def _kernel(cfg_c, refs, *, variant, masked, support, autoreset):
         acc = [acc[j] + noise[j] for j in range(4)]
     acc_belt = [jnp.clip(a, F32(0.0), F32(1.0)) for a in acc]
 
-    # ---- 4. sort_material (sort_pallas._kernel, inlined) ------------
+    # ---- 4. sort_material — ONE lax.fori_loop over the 4 stations
+    # (round 5, VERDICT r4 #5): the unrolled form emitted the station
+    # body (3 threefry blocks + 3 support-wide inverse-CDF draws) four
+    # times, and that body dominates the kernel's Mosaic compile time.
+    # The loop body runs the EXACT per-station op sequence of the
+    # unrolled form — the key chain is self-contained (one split per
+    # station, independent of sampler results) and the dynamic row
+    # picks/writes are pure selects — so the trajectory is bitwise
+    # unchanged (asserted by every test in tests/test_step_pallas.py
+    # and the on-chip A/Bs in bench.py).
     total_input = sort_c[0] + sort_c[1] + sort_c[2] + sort_c[3]
     k0, k1_ = key_t
-    us = []
     shape2 = (2,) + k0.shape
     shape3 = (3,) + k0.shape
     lo2 = lax.broadcasted_iota(U32, shape2, 0)
     lo3 = lax.broadcasted_iota(U32, shape3, 0)
     z2 = jnp.zeros(shape2, U32)
     z3 = jnp.zeros(shape3, U32)
-    for _ in range(4):
+    lv0 = jnp.stack(sort_c)                     # (4, BS, L) i32
+    accs = jnp.stack(acc_sorter)                # (4, BS, L) f32
+    rows4 = lax.broadcasted_iota(I32, lv0.shape, 0)
+
+    def station(st_i, carry):
+        k0, k1_, lv, tarr, farr = carry
         o0, o1 = _threefry(k0[None], k1_[None], z2, lo2)
-        k0, k1_ = o0[0], o1[0]
+        k0n, k1n = o0[0], o1[0]
         s0, s1 = o0[1], o1[1]
         p0, p1 = _threefry(s0[None], s1[None], z3, lo3)
         q0, q1 = _threefry(p0, p1, z3, z3)
-        u = _bits_to_unit_f32(q0 ^ q1)
-        us.extend(u[j] for j in range(3))
-    key = (k0, k1_)
-
-    leftover = list(sort_c)
-    true_arr = [None] * 4
-    false_arr = [None] * 4
-    for st_i in range(4):
-        target = leftover[st_i]
-        true_val = jnp.rint(target.astype(F32) * acc_sorter[st_i]
-                            ).astype(I32)
+        u = _bits_to_unit_f32(q0 ^ q1)          # (3, BS, L)
+        sel_i = rows4 == st_i
+        # dynamic row pick as a pure select chain (no arithmetic, no
+        # x64-promoting reduction) — bit-exact by construction
+        target = lv[0]
+        acc_i = accs[0]
+        for j in (1, 2, 3):
+            pick = st_i == j
+            target = jnp.where(pick, lv[j], target)
+            acc_i = jnp.where(pick, accs[j], acc_i)
+        true_val = jnp.rint(target.astype(F32) * acc_i).astype(I32)
         false_val = target - true_val
-        true_arr[st_i] = true_val
-        false_arr[st_i] = false_val
-        leftover[st_i] = false_val
-        N_ = leftover[0] + leftover[1] + leftover[2] + leftover[3]
+        tarr = jnp.where(sel_i, true_val[None], tarr)
+        farr = jnp.where(sel_i, false_val[None], farr)
+        lv = jnp.where(sel_i, false_val[None], lv)
+        N_ = lv[0] + lv[1] + lv[2] + lv[3]
         n_ = jnp.minimum(false_val, N_)
-        d0 = _hg_u(us[3 * st_i], N_, leftover[0], n_, support)
-        N1 = N_ - leftover[0]
+        d0 = _hg_u(u[0], N_, lv[0], n_, support)
+        N1 = N_ - lv[0]
         n1 = n_ - d0
-        d1 = _hg_u(us[3 * st_i + 1], N1, leftover[1], n1, support)
-        N2 = N1 - leftover[1]
+        d1 = _hg_u(u[1], N1, lv[1], n1, support)
+        N2 = N1 - lv[1]
         n2 = n1 - d1
-        d2 = _hg_u(us[3 * st_i + 2], N2, leftover[2], n2, support)
+        d2 = _hg_u(u[2], N2, lv[2], n2, support)
         d3 = n2 - d2
-        leftover[0] = leftover[0] - d0
-        leftover[1] = leftover[1] - d1
-        leftover[2] = leftover[2] - d2
-        leftover[3] = leftover[3] - d3
+        # the draws are < support; the cast is exact (it only undoes the
+        # x64 test environment's int64 reduction promotion inside _hg_u)
+        lv = lv - jnp.stack([d0, d1, d2, d3]).astype(I32)
+        return k0n, k1n, lv, tarr, farr
+
+    k0, k1_, lv, tarr, farr = lax.fori_loop(
+        0, 4, station, (k0, k1_, lv0, jnp.zeros_like(lv0),
+                        jnp.zeros_like(lv0)))
+    key = (k0, k1_)
+    leftover = [lv[j] for j in range(4)]
+    true_arr = [tarr[j] for j in range(4)]
+    false_arr = [farr[j] for j in range(4)]
 
     e_input = leftover[0] + leftover[1] + leftover[2] + leftover[3]
     cont_t = [cont_t[j] + true_arr[j] for j in range(4)] + \
@@ -277,13 +311,13 @@ def _kernel(cfg_c, refs, *, variant, masked, support, autoreset):
         F32(0.0))
 
     # ---- 5. press action --------------------------------------------
-    if variant == "external":
+    if variant in ("external", "press"):
         press_id = jnp.where(press_disc == 0, I32(0),
                              jnp.where(press_disc <= 5, I32(1), I32(2)))
         mat = jnp.where(press_disc == 0, I32(0), (press_disc - 1) % 5)
         if not masked:
-            # fastb._validate_press (on the POST-sort state, as
-            # step_mono_external's unmasked branch computes it)
+            # fastb._validate_press (on the POST-sort state, as the
+            # unmasked branches compute it)
             busy_v = jnp.where(press_id == 1, timer[0] > 0,
                                jnp.where(press_id == 2, timer[1] > 0,
                                          False))
@@ -291,6 +325,42 @@ def _kernel(cfg_c, refs, *, variant, masked, support, autoreset):
                             + [cont_t[4]], jnp.minimum(mat, 4))
             okv = (~busy_v) & (lvl_v >= I32(cfg_c["balesize"]))
             valid = jnp.where(press_id == 0, True, okv)
+            if variant == "press":
+                # fastb.step_press sanitize: invalid -> no-op press
+                # (press_id/mat zeroed) but the press PHASE still runs
+                # (timers tick) — unlike the mono freeze semantics below
+                press_id = jnp.where(valid, press_id, I32(0))
+                mat = jnp.where(valid, mat, I32(0))
+    elif variant == "sort":
+        # fastb._sample_masked_press on the POST-sort containers and
+        # PRE-tick timers: split, one f32 uniform, uniform-rank pick
+        # over the 11-way mask (masked_uniform_choice — log-free by
+        # construction so this kernel matches it bit for bit)
+        key, sku = _split2(key[0], key[1])
+        b0, b1 = _threefry(sku[0][None], sku[1][None],
+                           jnp.zeros((1,) + sku[0].shape, U32),
+                           jnp.zeros((1,) + sku[0].shape, U32))
+        u = _bits_to_unit_f32(b0[0] ^ b1[0])
+        lvl_rows5 = [cont_t[j] + cont_f[j] for j in range(4)] + [cont_t[4]]
+        p_free = [timer[0] == 0, timer[1] == 0]
+        mrows = [jnp.full_like(p_free[0], True)]
+        for p in range(2):
+            for j in range(5):
+                mrows.append((lvl_rows5[j] >= I32(cfg_c["balesize"]))
+                             & p_free[p])
+        c = jnp.zeros_like(cstep)
+        cum = []
+        for m_ in mrows:
+            c = c + m_.astype(I32)
+            cum.append(c)
+        nv = cum[-1]
+        r = jnp.minimum((u * nv.astype(F32)).astype(I32), nv - 1)
+        a_draw = jnp.zeros_like(cstep)
+        for cj in cum:
+            a_draw = a_draw + (cj <= r).astype(I32)
+        press_id = jnp.where(a_draw == 0, I32(0),
+                             jnp.where(a_draw <= 5, I32(1), I32(2)))
+        mat = jnp.where(a_draw == 0, I32(0), (a_draw - 1) % 5)
     else:
         press_id, mat = press_id_rule, mat_rule
 
@@ -408,8 +478,11 @@ def _kernel(cfg_c, refs, *, variant, masked, support, autoreset):
         catastrophic, F32(cfg_c["pen_catastrophic"]),
         jnp.where(max_penalty < F32(0.0), max_penalty, normal))
     early = catastrophic | (max_penalty < F32(0.0))
-    lps = jnp.where(early, lps, I32(0))
-    lpa = jnp.where(early, lpa, I32(0))
+    if variant != "sort":
+        # fastb.step_sort never calls _press_reward, so the sort env
+        # carries last_press_started/amount forward untouched
+        lps = jnp.where(early, lps, I32(0))
+        lpa = jnp.where(early, lpa, I32(0))
 
     # ---- 7. observations ---------------------------------------------
     belt_total = belt_c[0] + belt_c[1] + belt_c[2] + belt_c[3]
@@ -427,16 +500,21 @@ def _kernel(cfg_c, refs, *, variant, masked, support, autoreset):
                 timer[1].astype(F32) / F32(cfg_c["press_time_2"])]
     press_obs = lev_n + lev_n + sorter + timers_n
     press_obs = [jnp.clip(o, F32(0.0), F32(1.0)) for o in press_obs]
-    obs = sort_obs + press_obs                   # 29 rows
+    if variant == "sort":
+        obs = sort_obs                           # 13 rows
+    elif variant == "press":
+        obs = press_obs                          # 16 rows
+    else:
+        obs = sort_obs + press_obs               # 29 rows
 
     # ---- 8. finish -----------------------------------------------------
     cstep = cstep + 1
     term = (cstep >= I32(cfg_c["max_steps"])).astype(I32)
-    if variant == "external":
-        a_out = action
-    else:
+    if variant == "rule":
         a_out = sort_mode * 11 + jnp.where(
             press_id == 0, I32(0), (press_id - 1) * 5 + mat + 1)
+    else:
+        a_out = action  # the env echoes the action as passed
 
     # ---- 9. fused autoreset (fastb.with_autoreset/_reset_from_keys) ----
     if autoreset:
@@ -557,12 +635,20 @@ def supported(cfg, n_envs: int) -> bool:
 
 def step_mono(cfg, st, action, *, variant, masked=True, support,
               autoreset=False, interpret=False):
-    """Run one full monolith step through the fused kernel.
+    """Run one full env step through the fused kernel.
 
-    st: fastb.BState (events mode).  action: i32[N] for 'external',
-    ignored for 'rule'.  Returns (new_st, BStepOut) exactly like the
-    fastb step functions (reward = tanh(raw/T) + press_reward computed
-    on the host-side graph, matching fastb._sorting_reward)."""
+    st: fastb.BState (events mode).  ``variant``:
+      'external' — monolith with a flat 22-way action (i32[N]);
+      'rule'     — closed-loop rule-based monolith (action ignored);
+      'sort'     — Env_1 (fastb.step_sort): action is the 2-way sort
+                   mode; the masked random press is drawn IN-kernel
+                   (fastb.masked_uniform_choice recipe, bitwise);
+      'press'    — Env_2 (fastb.step_press, no sort policy): action is
+                   the 11-way press choice; ``masked=False`` applies the
+                   sanitize (invalid -> no-op press, timers tick).
+    Returns (new_st, BStepOut) exactly like the fastb step functions
+    (the tanh of the sorting reward is applied on the host-side graph,
+    matching fastb._sorting_reward)."""
     from ..core import fastb as FB
 
     n = st.current_step.shape[0]
@@ -603,10 +689,11 @@ def step_mono(cfg, st, action, *, variant, masked=True, support,
         pack(st.total_input_units, 1, I32),
         pack(st.key.T, 2, U32),
     ]
-    if variant == "external":
+    if variant != "rule":
         ins.append(pack(jnp.asarray(action, I32), 1, I32))
 
     vma = jax.typeof(st.current_step).vma
+    obs_rows = {"sort": 13, "press": 16}.get(variant, 29)
     out_rows = [
         ("input_counts", 4, I32), ("belt_counts", 4, I32),
         ("sort_counts", 4, I32), ("acc_belt", 4, F32),
@@ -620,7 +707,8 @@ def step_mono(cfg, st, action, *, variant, masked=True, support,
         ("gen_pattern_first", 1, I32), ("gen_pattern_idx", 1, I32),
         ("gen_step_counter", 1, I32), ("current_step", 1, I32),
         ("total_input_units", 1, I32), ("key0", 1, U32), ("key1", 1, U32),
-        ("obs", 29, F32), ("raw_sort", 1, F32), ("press_reward", 1, F32),
+        ("obs", obs_rows, F32), ("raw_sort", 1, F32),
+        ("press_reward", 1, F32),
         ("purity", 1, F32), ("action", 1, I32), ("term", 1, I32),
     ]
     out_shape = [jax.ShapeDtypeStruct((r, bs, 128), dt, vma=vma)
@@ -684,13 +772,21 @@ def step_mono(cfg, st, action, *, variant, masked=True, support,
     sr = jnp.tanh(unpack("raw_sort") / F32(cfg.tanh_temperature))
     pr = unpack("press_reward")
     terminated = unpack("term") > 0  # pre-reset (autoreset may zero cstep)
+    if variant == "sort":
+        # fastb.step_sort: reward is the sorting reward alone
+        reward, srr, prr = sr, sr, jnp.zeros_like(sr)
+    elif variant == "press":
+        # fastb.step_press: reward is the press reward alone
+        reward, srr, prr = pr, jnp.zeros_like(pr), pr
+    else:
+        reward, srr, prr = sr + pr, sr, pr
     out = FB.BStepOut(
         obs=unpack("obs").T,
-        reward=sr + pr,
+        reward=reward,
         terminated=terminated,
         action=unpack("action"),
-        sort_reward=sr,
-        press_reward=pr,
+        sort_reward=srr,
+        press_reward=prr,
         purity=unpack("purity"),
     )
     return new_st, out

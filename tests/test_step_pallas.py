@@ -193,3 +193,76 @@ def test_step_kernel_variant_config_bitwise():
                       balesize=120, container_capacity=500)
     _compare(cfg, "rule", True, steps=3)
     _compare(cfg, "external", True, steps=3, seed=2)
+
+
+def _compare_variant(cfg, variant, masked, steps, n=128, seed=11,
+                     n_actions=None):
+    """XLA vs kernel bitwise for the sort/press variants."""
+    support = FB._support_for(cfg)
+    st0 = FB.reset_batch(cfg, jax.random.PRNGKey(seed), n)
+    rng = np.random.default_rng(seed)
+    na = n_actions or (2 if variant == "sort" else 11)
+    acts = rng.integers(0, na, size=(steps, n)).astype(np.int32)
+    if variant == "sort":
+        fx = jax.jit(lambda s, a: FB.step_sort(cfg, s, a))
+    else:
+        fx = jax.jit(
+            lambda s, a: FB.step_press(cfg, s, a, None, masked))
+    fp = lambda s, a: SPK.step_mono(
+        cfg, s, a, variant=variant, masked=masked, support=support,
+        interpret=True)
+    st_x = st_p = st0
+    for t in range(steps):
+        a = jnp.asarray(acts[t])
+        st_x, out_x = fx(st_x, a)
+        st_p, out_p = fp(st_p, a)
+    for nm, a_, b_ in zip(FB.BState._fields, st_x, st_p):
+        if a_ is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_),
+                                      err_msg=f"state.{nm}")
+    for nm in FB.BStepOut._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_x, nm)), np.asarray(getattr(out_p, nm)),
+            err_msg=f"out.{nm}")
+    return st_x
+
+
+def test_step_kernel_sort_variant_bitwise():
+    """Env_1 (fastb.step_sort) through the kernel: the in-kernel masked
+    random press (split + scalar uniform + uniform-rank pick) must match
+    fastb._sample_masked_press bit for bit, and the drawn presses must
+    actually start (press_timer nonzero somewhere)."""
+    cfg = load_config(bale_mode="events", max_steps=36, balesize=24)
+    st = _compare_variant(cfg, "sort", True, steps=4)
+    assert int(np.asarray(st.press_timer).max()) > 0, \
+        "no press ever started — the masked draw was not exercised"
+
+
+def test_step_kernel_sort_variant_noise_bitwise():
+    cfg = load_config(bale_mode="events", max_steps=36, balesize=24,
+                      noise_sorting=0.05)
+    _compare_variant(cfg, "sort", True, steps=3, seed=13)
+
+
+def test_step_kernel_press_variant_masked_bitwise():
+    cfg = load_config(bale_mode="events", max_steps=36, balesize=24)
+    _compare_variant(cfg, "press", True, steps=4)
+
+
+def test_step_kernel_press_variant_sanitize_bitwise():
+    """Env_2 unmasked: invalid presses become no-ops but timers still
+    tick — the sanitize semantics differ from the mono freeze quirk."""
+    cfg = load_config(bale_mode="events", max_steps=36, balesize=24)
+    _compare_variant(cfg, "press", False, steps=4, seed=17)
+
+
+def test_step_kernel_sort_press_event_append_bitwise():
+    """Short press times force completions + event appends through the
+    sort/press kernel paths too."""
+    cfg = load_config(bale_mode="events", max_steps=24,
+                      press_time_1=1, press_time_2=2, balesize=16)
+    st_s = _compare_variant(cfg, "sort", True, steps=8, seed=19)
+    st_p = _compare_variant(cfg, "press", True, steps=8, seed=23)
+    assert int(np.asarray(st_s.ev_cnt).max()) > 0
+    assert int(np.asarray(st_p.ev_cnt).max()) > 0
