@@ -67,10 +67,10 @@ _STEP_TILE = 32  # sublane rows (= 4096 envs) per grid program: the step
 # 3*E*tile*128*2 B PER SIDE, and exist as both input and output blocks
 # (plus Pallas pipeline buffering), so the event working set scales as
 # E*tile.  Rather than trust a theoretical double-buffering model, the
-# cap is anchored to the measured-good configuration — E=94 (the
-# default max_steps=600 log depth) at tile=32 compiles and runs on
-# chip — and tiles shrink proportionally for deeper logs so E*tile
-# never exceeds that proven product.
+# cap is anchored to an ON-CHIP-VALIDATED product: E=94 (max_steps=600)
+# at tile=32 Mosaic-compiles and runs bitwise vs XLA, and deeper logs
+# shrink the tile proportionally (E=213/max_steps=1400 at tile=8
+# likewise validated) — artifacts/bigE_validation.log.
 _EV_TILE_PRODUCT = 94 * 32
 
 
