@@ -603,13 +603,16 @@ def step_mono_rule_exact(cfg: SimConfig, st: EnvState):
 
 
 # ---------------------------------------------------------------------------
-# Exact variants of the remaining non-model step paths.  Every action
-# source that involves no float MLP forward is TPU-exact: external
-# actions (training/eval replay), the random-masked press side of Env_1
+# Exact variants of the step paths.  Every action source that involves
+# no float MLP forward is TPU-exact directly: external actions
+# (training/eval replay), the random-masked press side of Env_1
 # (rng_pressing, pure integers), rule-based sides, and sanitize paths.
-# Frozen-policy paths are excluded by design: f32 matmul+tanh results
-# are not bit-portable across CPU and MXU, so model-in-the-loop
-# trajectories are covered by the CPU parity engine instead.
+# Model-in-the-loop paths are TPU-exact through the INTEGER policy
+# forward (models.mlp_exact — Q12 fixed point, i64 accumulation,
+# integer tanh table): see step_press_model_exact / step_mono_model_exact
+# below.  The f32 ``models.mlp`` forward itself remains outside the
+# bit-exact surface (f32 matmul+tanh is not bit-portable CPU<->MXU);
+# the quantized policy is the authoritative policy of the exact engine.
 # ---------------------------------------------------------------------------
 
 def _exact_prelude(cfg: SimConfig, st: EnvState) -> EnvState:
@@ -767,6 +770,141 @@ def step_mono_random_exact(cfg: SimConfig, st: EnvState, lr,
         "press_reward_bits": SF.sfs_to_bits(press_reward),
         "reward_sfs": reward,
     }
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def step_press_model_exact(cfg: SimConfig, st: EnvState, action, q_sort,
+                           use_action_masking: bool = True):
+    """Exact Env_2_Pressing step with the FROZEN SORTING AGENT evaluated
+    in pure integer arithmetic (models.mlp_exact) — the hierarchical
+    boundary of env_2_press.py:106-109, now inside the TPU-bit-exact
+    surface.  ``q_sort`` is a ``mlp_exact.QPolicy``; the sort obs it
+    sees is the exact engine's bit-authoritative f32 observation, so
+    the Q12 quantization and the integer forward are backend-invariant
+    end to end."""
+    from ..models import mlp_exact as MX
+
+    st = _exact_prelude(cfg, st)
+    sort_obs = get_sort_obs_exact(cfg, st)
+    sort_mode = MX.predict_deterministic_q(q_sort, sort_obs)
+    purity_cents, st = _exact_apply_sort(cfg, st, sort_mode)
+
+    a = jnp.asarray(action, I32)
+    if use_action_masking:
+        press_id, mat = D.press_discrete_to_action(a)
+        invalid_code = jnp.zeros((), I32)
+    else:
+        press_id, mat, _, invalid_code = D.sanitize_press_action(cfg, st, a)
+    log, st = press_action_rules_exact(cfg, st, press_id, mat)
+    log = jnp.where(invalid_code != 0, invalid_code, log)
+
+    reward, st = calculate_press_reward_exact(cfg, st)
+    obs = get_press_obs_exact(cfg, st)
+    st = st._replace(current_step=st.current_step + 1)
+    return st, {
+        "obs": obs,
+        "terminated": st.current_step >= cfg.max_steps,
+        "action": a,
+        "sort_mode": sort_mode,
+        "purity_cents": purity_cents,
+        "press_log": log,
+        "reward_bits": SF.sfs_to_bits(reward),
+        "reward_sfs": reward,
+    }
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _step_mono_model_exact_impl(cfg, st, q_sort, q_press,
+                                has_sort, has_press, use_action_masking):
+    from ..models import mlp_exact as MX
+
+    st = _exact_prelude(cfg, st)
+
+    if has_sort:
+        sort_mode = MX.predict_deterministic_q(
+            q_sort, get_sort_obs_exact(cfg, st))
+    else:
+        # fallback: rng_sorting.choice([0, 1]) (env_monolith.py:195)
+        idx, rs = R.choice_n(st.rng_sorting, 2)
+        sort_mode = idx.astype(I32)
+        st = st._replace(rng_sorting=rs)
+
+    if has_press:
+        press_obs = get_press_obs_exact(cfg, st)
+        if use_action_masking:
+            mask = D.press_action_masks(cfg, st)
+            press_disc = MX.predict_deterministic_q(q_press, press_obs, mask)
+        else:
+            press_disc = MX.predict_deterministic_q(q_press, press_obs)
+    else:
+        if use_action_masking:
+            # rng_pressing.choice(valid) (env_monolith.py:215-217)
+            mask = D.press_action_masks(cfg, st)
+            n_valid = mask.sum().astype(I32)
+            k, rp = R._lemire32(st.rng_pressing,
+                                (n_valid - 1).astype(jnp.uint32))
+            csum = jnp.cumsum(mask.astype(I32))
+            press_disc = jnp.argmax(csum == (k.astype(I32) + 1)).astype(I32)
+        else:
+            k, rp = R.choice_n(st.rng_pressing, 11)
+            press_disc = k.astype(I32)
+        st = st._replace(rng_pressing=rp)
+
+    press_id, mat = D.press_discrete_to_action(press_disc)
+    a = sort_mode * 11 + press_disc
+
+    purity_cents, st = _exact_apply_sort(cfg, st, sort_mode)
+    log, st = press_action_rules_exact(cfg, st, press_id, mat)
+
+    sort_reward = calculate_sorting_reward_exact(cfg, st)
+    press_reward, st = calculate_press_reward_exact(cfg, st)
+    reward = SF.sfs_add(sort_reward, press_reward)
+    obs = get_mono_obs_exact(cfg, st)
+    st = st._replace(current_step=st.current_step + 1)
+    return st, {
+        "obs": obs,
+        "terminated": st.current_step >= cfg.max_steps,
+        "action": a,
+        "purity_cents": purity_cents,
+        "press_log": log,
+        "reward_bits": SF.sfs_to_bits(reward),
+        "sort_reward_bits": SF.sfs_to_bits(sort_reward),
+        "press_reward_bits": SF.sfs_to_bits(press_reward),
+        "reward_sfs": reward,
+    }
+
+
+def step_mono_model_exact(cfg: SimConfig, st: EnvState, q_sort=None,
+                          q_press=None, use_action_masking: bool = True):
+    """Exact monolith 'model' path (env_monolith.py:186-221 /
+    core.step.step_mono_model with press_is_maskable=True): modular
+    integer-policy agents with the reference's random fallbacks
+    (rng_sorting / rng_pressing, both pure-integer PCG64 draws).  The
+    PPO Sort-Only and PPO Modular benchmark scenarios run through this
+    step — bit-exact on TPU including the agents' actions."""
+    return _step_mono_model_exact_impl(
+        cfg, st, q_sort, q_press,
+        q_sort is not None, q_press is not None, use_action_masking)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def step_mono_policy_exact(cfg: SimConfig, st: EnvState, q_mono,
+                           use_action_masking: bool = True):
+    """Exact monolith-agent benchmark step (core.step.step_mono_policy /
+    testing.py:37-44): the integer policy predicts deterministically on
+    the PRE-step observation (masked iff masking is on) and the flat
+    action goes through the external path — including the sanitize
+    timer-freeze quirk when unmasked.  With this, every scenario of the
+    reference's 5-policy benchmark is TPU-bit-exact."""
+    from ..models import mlp_exact as MX
+
+    obs = get_mono_obs_exact(cfg, st)          # pre-step = last step's obs
+    if use_action_masking:
+        mask = D.monolith_action_masks(cfg, st)
+        flat = MX.predict_deterministic_q(q_mono, obs, mask)
+    else:
+        flat = MX.predict_deterministic_q(q_mono, obs)
+    return step_mono_external_exact(cfg, st, flat, use_action_masking)
 
 
 @partial(jax.jit, static_argnums=(0, 2))

@@ -536,16 +536,26 @@ def make_train_iteration(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
 
 def make_train_run(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
                    n_iters: int, sort_policy=None,
-                   use_action_masking=True, mesh=None):
+                   use_action_masking=True, mesh=None, seg_unroll: int = 1):
     """``n_iters`` PPO iterations as ONE jitted ``lax.scan`` dispatch.
 
     Each host dispatch costs ~1.7 ms on a tunneled TPU client; at
     protocol-scale shapes (16 envs, ~0.5 ms/iteration device time) that
     gap dominates, so the trainer dispatches segments there.  At ≥4096
-    envs the iteration is ~10 ms of device time and per-iteration
-    dispatch overlaps the gap instead — BENCH_r03 measured segments
-    5-13% SLOWER at 4096/8192 envs — so the trainer picks per-iteration
-    dispatch for large batches (see ``learn.trainer.SEGMENT_MAX_ENVS``).
+    envs the iteration is ~10 ms of device time and a rolled (unroll=1)
+    segment measured 5-13% SLOWER than back-to-back per-iteration
+    dispatch (BENCH_r03): the while-loop body cannot alias the ~80 MB
+    transition buffers across trips, costing +3.3 ms/iter of HBM
+    traffic (artifacts/train_floor_r4.md §2).
+
+    ``seg_unroll > 1`` removes exactly that penalty by unrolling the
+    iteration scan: within one unrolled body XLA reuses/aliases the
+    transition buffers across consecutive iterations, so the segment
+    reaches per-iteration device time WITHOUT the per-dispatch host gap
+    (measured round 5: see artifacts/train_run_gap_r5.md).  Cost is
+    compile time/program size linear in the unroll factor — worth it for
+    the repeated segment shapes the trainer caches.
+
     Returns ``(ts, stats)`` with each stats leaf stacked ``[n_iters]``
     so per-iteration history is preserved."""
     step_fn = spec.step_fn(sort_policy, use_action_masking)
@@ -559,7 +569,7 @@ def make_train_run(cfg: SimConfig, pcfg: PPOConfig, spec: VariantSpec,
             stats["mean_episode_return"] = ts.last_ep_return.mean()
             return ts, stats
 
-        return lax.scan(body, ts, None, length=n_iters)
+        return lax.scan(body, ts, None, length=n_iters, unroll=seg_unroll)
 
     return jax.jit(segment)
 
