@@ -393,23 +393,26 @@ def bench_train_iteration(cfg, n_envs):
     return sps, sps / steps_per_iter
 
 
-def bench_train_run(cfg, n_envs, seg=8):
+def bench_train_run(cfg, n_envs, seg=8, seg_unroll=1):
     """The segmented training-loop shape: `seg` PPO iterations per
     jitted lax.scan dispatch (ppo.make_train_run).  This is what the
     trainer dispatches BELOW trainer.SEGMENT_MAX_ENVS (protocol-scale
     shapes, where the ~1.7 ms/call dispatch gap dominates); at the
-    bench's 4096/8192-env shapes the scanned segment costs ~3 ms/iter
-    MORE device time than the standalone iteration (the while-loop body
-    re-materializes the transition buffers every trip —
+    bench's 4096/8192-env shapes the ROLLED (unroll=1) segment costs
+    ~3 ms/iter MORE device time than the standalone iteration (the
+    while-loop body re-materializes the transition buffers every trip —
     artifacts/train_floor_r4.md), which is why the trainer picks
-    per-iteration dispatch here.  Kept as a bench surface so the
-    crossover stays measured."""
+    per-iteration dispatch here.  ``seg_unroll=seg`` removes the
+    while-loop entirely and recovers 100% of that gap (round 5,
+    artifacts/train_run_gap_r5.md: u8 matches train_iter at both 4096
+    and 8192; partial unrolls don't help).  Both variants stay as bench
+    surfaces so the crossover and the recovery stay measured."""
     from marl_sortingenv_tpu.learn import ppo
 
     pcfg = _train_pcfg(n_envs)
     spec = ppo.spec_for("mono", engine="fastb")
     ts = ppo.init_train_state(cfg, pcfg, spec, n_envs=n_envs, seed=0)
-    it = ppo.make_train_run(cfg, pcfg, spec, seg)
+    it = ppo.make_train_run(cfg, pcfg, spec, seg, seg_unroll=seg_unroll)
 
     def run(ts):
         ts, stats = it(ts)
@@ -466,6 +469,7 @@ def main():
     train8_sps, train8_ups = bench_train_iteration(cfg, 2 * N_ENVS)
     trun_sps, trun_ups = bench_train_run(cfg, N_ENVS)
     trun8_sps, trun8_ups = bench_train_run(cfg, 2 * N_ENVS)
+    trunu8_sps, _ = bench_train_run(cfg, 2 * N_ENVS, seg_unroll=8)
 
     extra = {
         "sort_kernel_bitwise_ab": kernel_ab,
@@ -485,6 +489,7 @@ def main():
         "train_run_updates_per_sec": round(trun_ups, 4),
         "train_run_8192_env_steps_per_sec": round(trun8_sps, 1),
         "train_run_8192_updates_per_sec": round(trun8_ups, 4),
+        "train_run_8192_unrolled_env_steps_per_sec": round(trunu8_sps, 1),
         "train_iter_config": {
             "n_envs": N_ENVS, "n_steps": TRAIN_N_STEPS,
             "batch_size": _train_pcfg(N_ENVS).batch_size,

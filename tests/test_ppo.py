@@ -184,6 +184,16 @@ def test_train_run_matches_per_iteration():
         rtol=1e-5, atol=1e-7)
     assert seg_stats["mean_episode_return"].shape == (3,)
 
+    # seg_unroll is pure scheduling (artifacts/train_run_gap_r5.md): the
+    # fully-unrolled segment must be BITWISE identical to the rolled one
+    ts_c = ppo.init_train_state(CFG, pcfg, spec, n_envs=4, seed=7)
+    ts_c, seg_stats_u = ppo.make_train_run(
+        CFG, pcfg, spec, 3, seg_unroll=3)(ts_c)
+    np.testing.assert_array_equal(np.asarray(seg_stats_u["loss"]),
+                                  np.asarray(seg_stats["loss"]))
+    np.testing.assert_array_equal(np.asarray(ts_c.params.action.w),
+                                  np.asarray(ts_b.params.action.w))
+
 
 def test_mask_bitpack_roundtrip_exact():
     """Round 4 packs the A mask rows of the update's sample buffer into
